@@ -1,0 +1,250 @@
+"""Upwind-biased 5th-order (UB5) reconstruction and staggered-grid stencils.
+
+Behavioral target: Oceananigans' ``UpwindBiasedFifthOrder()`` advection scheme
+selected by the reference (sim/rbc_sim2D.jl:151, sim/rbc_sim3D.jl:158):
+flux-form advection with face values reconstructed by a 5th-order
+upwind-biased interpolation, order-reduced near bounded-direction walls.
+
+TPU-first design decisions (NOT a translation of the Julia/KernelAbstractions
+per-point kernels):
+
+* Periodic directions (x, and y in 3D) use ``jnp.roll`` shifts — XLA fuses the
+  shifted adds into a single VPU pass over the field.
+* The bounded z direction uses small precomputed stencil *matrices*
+  (nz+1 x nz and friends) applied as matmuls contracting the minor-most
+  (lane) axis — this puts the variable-order near-wall stencils on the MXU
+  with zero control flow, instead of per-point branches.
+
+Classic UB5 face reconstruction (uniform grid), positive advecting velocity
+through the face between cells m-1 (upstream) and m:
+
+    q_face = (2 q[m-3] - 13 q[m-2] + 47 q[m-1] + 27 q[m] - 3 q[m+1]) / 60
+
+The negative-velocity stencil is the mirror image. Near walls the stencil
+degrades UB5 -> UB3 -> UB1 as upstream cells run out, mirroring Oceananigans'
+bounded-direction order reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (offset relative to downwind cell m, coefficient) for LEFT-biased (positive
+# velocity) stencils; RIGHT-biased is the point reflection about the face.
+_UB5_LEFT = ((-3, 2 / 60), (-2, -13 / 60), (-1, 47 / 60), (0, 27 / 60), (1, -3 / 60))
+_UB3_LEFT = ((-2, -1 / 6), (-1, 5 / 6), (0, 2 / 6))
+_UB1_LEFT = ((-1, 1.0),)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mirror(stencil):
+    """Reflect a left-biased stencil about the face (cells m-1 | m)."""
+    return tuple((-1 - off, c) for off, c in stencil)
+
+
+_UB5_RIGHT = _mirror(_UB5_LEFT)
+_UB3_RIGHT = _mirror(_UB3_LEFT)
+_UB1_RIGHT = _mirror(_UB1_LEFT)
+
+
+# ---------------------------------------------------------------------------
+# Periodic (roll-based) reconstructions along a given axis
+# ---------------------------------------------------------------------------
+
+
+def _apply_periodic(q: jax.Array, stencil, axis: int, m_of_point: int) -> jax.Array:
+    """Sum of rolled copies: result[i] = sum_c coeff * q[i + m_of_point + off]."""
+    out = None
+    for off, c in stencil:
+        shift = -(m_of_point + off)  # roll(q, s)[i] = q[i - s]
+        term = c * jnp.roll(q, shift, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def recon_c2f_periodic(q: jax.Array, vel_face: jax.Array, axis: int) -> jax.Array:
+    """Reconstruct a centered field to faces along a periodic axis.
+
+    Face i sits between cells i-1 and i (downwind cell m = i for positive
+    velocity). ``vel_face`` is the advecting velocity at the faces.
+    """
+    left = _apply_periodic(q, _UB5_LEFT, axis, m_of_point=0)
+    right = _apply_periodic(q, _UB5_RIGHT, axis, m_of_point=0)
+    return jnp.where(vel_face > 0, left, right)
+
+
+def recon_f2c_periodic(q: jax.Array, vel_center: jax.Array, axis: int) -> jax.Array:
+    """Reconstruct a face field to centers along a periodic axis.
+
+    Center i sits between faces i and i+1 (downwind face m = i+1 for positive
+    velocity).
+    """
+    left = _apply_periodic(q, _UB5_LEFT, axis, m_of_point=1)
+    right = _apply_periodic(q, _UB5_RIGHT, axis, m_of_point=1)
+    return jnp.where(vel_center > 0, left, right)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-z stencil matrices
+# ---------------------------------------------------------------------------
+
+
+def _biased_matrix(n_src: int, n_dst: int, split: int, biased: str) -> np.ndarray:
+    """Build an (n_dst, n_src) reconstruction matrix for the bounded direction.
+
+    Destination point j lies between source points j+split-1 and j+split
+    (split=0: centers->faces, split=1: faces->centers). The highest-order
+    stencil whose support fits in [0, n_src) is used per row; rows with no
+    valid stencil (wall faces) are left zero — their advective fluxes are
+    multiplied by a wall-normal velocity that is exactly zero.
+    """
+    assert biased in ("left", "right")
+    ladder = (
+        (_UB5_LEFT, _UB5_RIGHT),
+        (_UB3_LEFT, _UB3_RIGHT),
+        (_UB1_LEFT, _UB1_RIGHT),
+    )
+    mat = np.zeros((n_dst, n_src), dtype=np.float64)
+    for j in range(n_dst):
+        m = j + split
+        for pair in ladder:
+            stencil = pair[0] if biased == "left" else pair[1]
+            idx = [m + off for off, _ in stencil]
+            if min(idx) >= 0 and max(idx) < n_src:
+                for (off, c) in stencil:
+                    mat[j, m + off] = c
+                break
+    return mat
+
+
+@functools.lru_cache(maxsize=None)
+def z_recon_matrices_c2f(nz: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(left, right) matrices, shape (nz+1, nz): cell values -> face values."""
+    return (
+        _biased_matrix(nz, nz + 1, split=0, biased="left"),
+        _biased_matrix(nz, nz + 1, split=0, biased="right"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def z_recon_matrices_f2c(nz: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(left, right) matrices, shape (nz, nz+1): face values -> cell values."""
+    return (
+        _biased_matrix(nz + 1, nz, split=1, biased="left"),
+        _biased_matrix(nz + 1, nz, split=1, biased="right"),
+    )
+
+
+def apply_z_matrix(mat: jax.Array, q: jax.Array) -> jax.Array:
+    """Contract the trailing (z) axis of q with a stencil matrix.
+
+    q: (..., n_src) -> (..., n_dst). Runs on the MXU; HIGHEST precision so
+    float32 fields are not truncated to bf16 inside the systolic array.
+    """
+    return jnp.matmul(q, mat.T, precision=_HIGHEST)
+
+
+def recon_c2f_z(q: jax.Array, vel_face: jax.Array, mats) -> jax.Array:
+    """Upwind reconstruction of a centered field to z-faces (bounded).
+
+    ``mats`` is the (left, right) pair from ``z_recon_matrices_c2f`` already
+    converted to jnp arrays of the working dtype.
+    """
+    left = apply_z_matrix(mats[0], q)
+    right = apply_z_matrix(mats[1], q)
+    return jnp.where(vel_face > 0, left, right)
+
+
+def recon_f2c_z(q: jax.Array, vel_center: jax.Array, mats) -> jax.Array:
+    """Upwind reconstruction of a z-face field to cell centers (bounded)."""
+    left = apply_z_matrix(mats[0], q)
+    right = apply_z_matrix(mats[1], q)
+    return jnp.where(vel_center > 0, left, right)
+
+
+# ---------------------------------------------------------------------------
+# Simple staggered differences / interpolations
+# ---------------------------------------------------------------------------
+
+
+def ddx_f2c(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
+    """d/dx of an x-face field, result at x-centers: (q[i+1] - q[i]) / dx."""
+    return (jnp.roll(q, -1, axis=axis) - q) / dx
+
+
+def ddx_c2f(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
+    """d/dx of an x-center field, result at x-faces: (q[i] - q[i-1]) / dx."""
+    return (q - jnp.roll(q, 1, axis=axis)) / dx
+
+
+def interp_f2c_x(q: jax.Array, axis: int = -2) -> jax.Array:
+    """x-face -> x-center linear interpolation: (q[i] + q[i+1]) / 2."""
+    return 0.5 * (q + jnp.roll(q, -1, axis=axis))
+
+
+def interp_c2f_x(q: jax.Array, axis: int = -2) -> jax.Array:
+    """x-center -> x-face linear interpolation: (q[i-1] + q[i]) / 2."""
+    return 0.5 * (jnp.roll(q, 1, axis=axis) + q)
+
+
+def ddz_f2c(q: jax.Array, dz: float) -> jax.Array:
+    """d/dz of a z-face field (..., nz+1) -> centers (..., nz)."""
+    return (q[..., 1:] - q[..., :-1]) / dz
+
+
+def ddz_c2f_interior(q: jax.Array, dz: float) -> jax.Array:
+    """d/dz of a z-center field -> interior z-faces, wall rows zero.
+
+    (..., nz) -> (..., nz+1) with [..., 0] = [..., nz] = 0.
+    """
+    interior = (q[..., 1:] - q[..., :-1]) / dz
+    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
+    return jnp.pad(interior, pad)
+
+
+def interp_f2c_z(q: jax.Array) -> jax.Array:
+    """z-face (..., nz+1) -> z-center (..., nz) linear interpolation."""
+    return 0.5 * (q[..., :-1] + q[..., 1:])
+
+
+def interp_c2f_z_interior(q: jax.Array) -> jax.Array:
+    """z-center -> z-faces with zero on the wall faces (..., nz+1)."""
+    interior = 0.5 * (q[..., :-1] + q[..., 1:])
+    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
+    return jnp.pad(interior, pad)
+
+
+def d2x_periodic(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
+    """Second derivative along a periodic axis."""
+    return (jnp.roll(q, -1, axis=axis) - 2.0 * q + jnp.roll(q, 1, axis=axis)) / (
+        dx * dx
+    )
+
+
+def d2z_center_value_bc(
+    q: jax.Array, dz: float, bottom_value, top_value
+) -> jax.Array:
+    """d2/dz2 of a z-centered field with Dirichlet wall values via ghost cells.
+
+    ghost = 2*value - first interior cell (linear extrapolation through the
+    wall value), matching Oceananigans' ValueBoundaryCondition halo fill.
+    ``bottom_value``/``top_value`` broadcast against q[..., 0].
+    """
+    ghost_b = 2.0 * bottom_value - q[..., 0]
+    ghost_t = 2.0 * top_value - q[..., -1]
+    qm = jnp.concatenate([ghost_b[..., None], q[..., :-1]], axis=-1)
+    qp = jnp.concatenate([q[..., 1:], ghost_t[..., None]], axis=-1)
+    return (qp - 2.0 * q + qm) / (dz * dz)
+
+
+def d2z_face_interior(q: jax.Array, dz: float) -> jax.Array:
+    """d2/dz2 of a z-face field at interior faces; wall rows zero."""
+    interior = (q[..., 2:] - 2.0 * q[..., 1:-1] + q[..., :-2]) / (dz * dz)
+    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
+    return jnp.pad(interior, pad)

@@ -1,0 +1,172 @@
+"""2D solver integration tests: conservation, equilibrium, incompressibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbc_gym_tpu.ops import stencils as st
+from rbc_gym_tpu.sim.grid import Grid2D
+from rbc_gym_tpu.sim.solver2d import Fields2D, SimParams2D, make_solver2d
+from rbc_gym_tpu.sim.actuation import heater_profile_2d
+
+
+GRID = Grid2D(nx=32, nz=16, lx=2 * np.pi, lz=2.0)
+PARAMS = SimParams2D(ra=1.0e4, heater_duration=0.3)  # 10 substeps / env step
+
+
+@pytest.fixture(scope="module")
+def solver():
+    return make_solver2d(GRID, PARAMS, dtype=jnp.float64)
+
+
+def _divergence(f, grid):
+    return np.asarray(
+        st.ddx_f2c(f.u, grid.dx, axis=-2) + st.ddz_f2c(f.w, grid.dz)
+    )
+
+
+def test_conduction_equilibrium(solver):
+    """Pure-conduction steady state: zero velocity + linear b is a fixed
+    point of the dynamics (to solver tolerance) under zero action."""
+    z_c = GRID.z_centers()
+    b0 = PARAMS.min_b + (GRID.lz - z_c) * PARAMS.delta_b / 2.0
+    f = Fields2D(
+        u=jnp.zeros(GRID.shape_c, jnp.float64),
+        w=jnp.zeros(GRID.shape_w, jnp.float64),
+        b=jnp.asarray(np.tile(b0, (GRID.nx, 1))),
+        p_hy=jnp.zeros(GRID.shape_c, jnp.float64),
+        p_nhs=jnp.zeros(GRID.shape_c, jnp.float64),
+    )
+    action = jnp.zeros(PARAMS.n_heaters, jnp.float64)
+    step = jax.jit(solver.env_step)
+    for _ in range(5):
+        f = step(f, action)
+    np.testing.assert_allclose(np.asarray(f.u), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f.w), 0.0, atol=1e-12)
+    b = np.asarray(f.b)
+    np.testing.assert_allclose(b, np.tile(b0, (GRID.nx, 1)), atol=1e-10)
+
+
+def test_divergence_free_after_step(solver):
+    key = jax.random.PRNGKey(0)
+    f = solver.init_random(key)
+    action = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, 12))
+    f = jax.jit(solver.env_step)(f, action)
+    div = _divergence(f, GRID)
+    assert np.max(np.abs(div)) < 1e-8
+
+
+def test_no_nans_in_turbulent_run(solver):
+    key = jax.random.PRNGKey(42)
+    f = solver.init_random(key)
+    step = jax.jit(solver.env_step)
+    action = jnp.zeros(12, jnp.float64)
+    for _ in range(10):
+        f = step(f, action)
+    for arr in f:
+        assert np.all(np.isfinite(np.asarray(arr)))
+
+
+def test_buoyancy_conservation_zero_action(solver):
+    """With zero action the bottom plate sits at 2 and top at 1; advective
+    fluxes vanish at walls so volume-mean b only changes via wall diffusion.
+    Starting from the conductive profile, wall fluxes balance -> mean(b)
+    constant."""
+    z_c = GRID.z_centers()
+    b0 = PARAMS.min_b + (GRID.lz - z_c) * PARAMS.delta_b / 2.0
+    f = Fields2D(
+        u=jnp.zeros(GRID.shape_c, jnp.float64),
+        w=jnp.zeros(GRID.shape_w, jnp.float64),
+        b=jnp.asarray(np.tile(b0, (GRID.nx, 1))),
+        p_hy=jnp.zeros(GRID.shape_c, jnp.float64),
+        p_nhs=jnp.zeros(GRID.shape_c, jnp.float64),
+    )
+    mean0 = float(jnp.mean(f.b))
+    f = jax.jit(solver.env_step)(f, jnp.zeros(12, jnp.float64))
+    assert abs(float(jnp.mean(f.b)) - mean0) < 1e-12
+
+
+def test_batched_matches_single(solver):
+    """Batched env axis must reproduce per-env results (to fp reassociation
+    tolerance — XLA may reorder FFT/matmul internals under batching)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    f1 = solver.init_random(k1)
+    f2 = solver.init_random(k2)
+    batched = Fields2D(*[jnp.stack([a, b]) for a, b in zip(f1, f2)])
+    action = jnp.zeros((2, 12), jnp.float64)
+    step = jax.jit(solver.env_step)
+    out_b = step(batched, action)
+    out_1 = step(f1, action[0])
+    for ba, si in zip(out_b, out_1):
+        np.testing.assert_allclose(
+            np.asarray(ba)[0], np.asarray(si), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_heater_profile_properties():
+    """Profile: zero action -> flat plate at 2; respects the limit; matches
+    segment values mid-segment; continuous at boundaries."""
+    x_c = GRID.x_centers()
+    zero = heater_profile_2d(
+        jnp.zeros(12), x_c, GRID.lx, 12, 0.75, rest_temperature=2.0
+    )
+    np.testing.assert_allclose(np.asarray(zero), 2.0, atol=1e-12)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, 12)
+    prof = np.asarray(
+        heater_profile_2d(jnp.asarray(a), x_c, GRID.lx, 12, 0.75, 2.0)
+    )
+    assert prof.min() >= 2.0 - 0.75 - 1e-9
+    assert prof.max() <= 2.0 + 0.75 + 1e-9
+
+    # golden scalar evaluation replicating the reference formula
+    def golden(x):
+        ampl, dxw = 0.75, 0.03
+        values = ampl * a
+        mean = values.mean()
+        k2 = max(1.0, np.max(np.abs(values - mean)) / ampl)
+        seg_len = GRID.lx / 12
+        j = int(np.floor(x / seg_len))
+        t0 = 2 + (ampl * a[(j - 1) % 12] - mean) / k2
+        t1 = 2 + (ampl * a[j] - mean) / k2
+        t2 = 2 + (ampl * a[(j + 1) % 12] - mean) / k2
+        xp = x - j * seg_len
+        if xp < dxw:
+            return t0 + ((t0 - t1) / (4 * dxw**3)) * (xp - 2 * dxw) * (xp + dxw) ** 2
+        if xp >= seg_len - dxw:
+            return t1 + ((t1 - t2) / (4 * dxw**3)) * (
+                xp - seg_len - 2 * dxw
+            ) * (xp - seg_len + dxw) ** 2
+        return t1
+
+    for i, x in enumerate(x_c):
+        np.testing.assert_allclose(prof[i], golden(x), rtol=1e-12)
+
+
+def test_convection_onset():
+    """Supercritical Ra grows convection from a small kick; subcritical decays.
+
+    In the reference's nondimensionalization (delta_b = 1, H = 2, nu =
+    sqrt(Pr/Ra), kappa = 1/sqrt(Pr Ra)) the *effective* Rayleigh number is
+    delta_b H^3/(nu kappa) = 8 Ra, so the no-slip critical value 1708 sits at
+    nominal Ra ~= 213. Nominal Ra=100 (eff. 800) must decay; Ra=5000 (eff.
+    40000) must reach finite-amplitude convection.
+    """
+    grid = Grid2D(nx=32, nz=16, lx=2 * np.pi, lz=2.0)
+
+    def ke_after(ra, steps=40):
+        params = SimParams2D(ra=ra, heater_duration=0.3)
+        s = make_solver2d(grid, params, dtype=jnp.float64)
+        f = s.init_random(jax.random.PRNGKey(0))
+        step = jax.jit(s.env_step)
+        act = jnp.zeros(12, jnp.float64)
+        for _ in range(steps):
+            f = step(f, act)
+        return float(jnp.mean(f.u**2) + jnp.mean(f.w**2))
+
+    ke_sub = ke_after(100.0)
+    ke_super = ke_after(5000.0)
+    assert ke_sub < 1e-7, f"subcritical KE did not decay: {ke_sub}"
+    assert ke_super > 1e-3, f"supercritical KE did not grow: {ke_super}"
