@@ -1,0 +1,78 @@
+"""Headline benchmark: lockstep 2D env throughput on one TPU chip.
+
+Baseline (BASELINE.md): the reference steps ONE env at 0.12 s/step for
+dt=1.0 of sim time (~33 RK3 substeps at dt_solver=0.03) on Apple Silicon.
+We measure the batched pure-JAX env at the same resolution (96x64) and
+normalize to the same unit of work: seconds per env-step *per unit sim
+time*, i.e. our heater_duration=1.5 steps (50 substeps) count as 1.5x the
+baseline step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
+
+BASELINE_SEC_PER_SIMTIME = 0.12  # README.md:62 — one env, dt=1.0 sim time
+
+
+def run(num_envs: int, steps: int = 10) -> dict:
+    env = RBC2DVectorEnv(
+        num_envs=num_envs,
+        rayleigh_number=10_000,
+        state_shape=(64, 96),
+        observation_shape=(8, 48),
+        heater_duration=1.5,
+        episode_length=300,
+    )
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    actions = jnp.zeros((num_envs, 12), jnp.float32)
+
+    # warmup/compile
+    state, ts = env.step(state, actions)
+    jax.block_until_ready(ts.reward)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, ts = env.step(state, actions)
+    jax.block_until_ready(ts.reward)
+    elapsed = time.perf_counter() - t0
+
+    env_steps_per_sec = num_envs * steps / elapsed
+    sec_per_env_step = elapsed / (num_envs * steps)
+    # normalize to baseline unit of work (heater_duration 1.5 vs dt 1.0)
+    sec_per_env_simtime = sec_per_env_step / 1.5
+    return {
+        "metric": "env_steps_per_sec_2d_96x64",
+        "value": round(env_steps_per_sec, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(BASELINE_SEC_PER_SIMTIME / sec_per_env_simtime, 1),
+        "num_envs": num_envs,
+        "sec_per_env_step": sec_per_env_step,
+    }
+
+
+def main():
+    for num_envs in (int(os.environ.get("BENCH_ENVS", 4096)), 2048, 1024, 256):
+        try:
+            result = run(num_envs)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # OOM fallback to smaller fleets
+            print(f"bench: {num_envs} envs failed ({type(e).__name__}), "
+                  f"retrying smaller", file=sys.stderr)
+    raise SystemExit("bench failed at all sizes")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Native JAX vector env tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv, RBC2DGymVectorEnv
+
+CFG = dict(
+    state_shape=(16, 32),
+    observation_shape=(8, 16),
+    heater_duration=0.3,
+    episode_length=0.9,  # 3 steps per episode
+)
+
+
+def test_vector_env_shapes_and_autoreset():
+    env = RBC2DVectorEnv(num_envs=4, **CFG)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 3, 8, 16)
+
+    actions = jnp.zeros((4, 12))
+    for i in range(3):
+        state, ts = env.step(state, actions)
+    assert bool(ts.truncated.all())  # all envs truncate at step 3
+    # autoreset: episode bookkeeping reset
+    assert np.all(np.asarray(state.t) == 0.0)
+    assert np.all(np.asarray(state.step) == 1)
+
+    state, ts = env.step(state, actions)
+    assert not bool(ts.truncated.any())
+    assert np.all(np.asarray(ts.t) == pytest.approx(0.3))
+
+
+def test_vector_env_reward_matches_nusselt():
+    env = RBC2DVectorEnv(num_envs=2, **CFG)
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    state, ts = env.step(state, jnp.zeros((2, 12)))
+    np.testing.assert_allclose(
+        np.asarray(ts.reward), -np.asarray(ts.nusselt_obs), rtol=1e-6
+    )
+
+
+def test_vector_envs_independent_streams():
+    """Different envs in the batch must receive different initial states."""
+    env = RBC2DVectorEnv(num_envs=3, **CFG)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    o = np.asarray(obs)
+    assert not np.array_equal(o[0], o[1])
+    assert not np.array_equal(o[1], o[2])
+
+
+def test_gym_vector_adapter():
+    env = RBC2DGymVectorEnv(num_envs=3, seed=5, **CFG)
+    obs, _ = env.reset()
+    assert obs.shape == (3, 3, 8, 16) and obs.dtype == np.float32
+    actions = np.zeros((3, 12), np.float32)
+    obs, reward, term, trunc, info = env.step(actions)
+    assert reward.shape == (3,)
+    assert not trunc.any()
+    assert set(info) >= {"t", "step", "nusselt_state", "nusselt_obs"}
+    env.close()
+
+
+def test_checkpoint_bank_vector_reset():
+    env = RBC2DVectorEnv(
+        num_envs=4,
+        checkpoint="/root/reference/data/checkpoints/train/ckpt_ra10000.h5",
+        heater_duration=1.5,
+        episode_length=300,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.zeros((4, 12)))
+    assert np.all(np.asarray(ts.nusselt_state) > 1.0)  # turbulent bank states
+    assert np.all(np.isfinite(np.asarray(ts.reward)))
