@@ -1,0 +1,281 @@
+"""3D Rayleigh-Bénard solver (periodic x/y, bounded z) on the staggered C-grid.
+
+Physics parity target: reference sim/rbc_sim3D.jl (UpwindBiasedFifthOrder,
+:RungeKutta3, BuoyancyTracer, ScalarDiffusivity(nu=sqrt(Pr/Ra),
+kappa=1/sqrt(Pr*Ra)), no-slip u/v, fixed top temperature, actuated 8x8
+bottom tiles). Times are in free-fall units: t_ff = Lz^2 (rbc_sim3D.jl:32-37);
+the solver step is dt_solver * t_ff and one env step spans
+heater_duration * t_ff. When heater_duration is not an integer multiple of
+dt_solver the final substep is clipped to land exactly on the step boundary —
+the same alignment Oceananigans' Simulation performs against stop_time.
+
+Array layout: (..., nx, ny, nz[+1]) with arbitrary leading env batch axes.
+  u at (x-face, y-center, z-center)   (..., nx, ny, nz)
+  v at (x-center, y-face, z-center)   (..., nx, ny, nz)
+  w at (x-center, y-center, z-face)   (..., nx, ny, nz+1)
+  b at centers                        (..., nx, ny, nz)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rbc_gym_tpu.ops import stencils as st
+from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d
+from rbc_gym_tpu.sim.actuation import heater_profile_3d, preprocess_action_3d
+from rbc_gym_tpu.sim.grid import Grid3D
+from rbc_gym_tpu.sim.solver2d import RK3_GAMMA, RK3_ZETA
+
+X, Y = -3, -2  # axis indices for (..., nx, ny, nz) arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams3D:
+    """Defaults: reference rbc_sim3D_api.jl:17 + envs/rbc3D.py:43-60."""
+
+    ra: float = 2500.0
+    pr: float = 0.7
+    min_b: float = 1.0
+    delta_b: float = 1.0
+    dt_solver: float = 0.01  # in free-fall units
+    heater_duration: float = 0.125  # env step, free-fall units
+    n_heaters: int = 8
+    heater_limit: float = 0.9
+    random_kick: float = 0.01
+    lz: float = 2.0
+
+    @property
+    def nu(self) -> float:
+        return float(np.sqrt(self.pr / self.ra))
+
+    @property
+    def kappa(self) -> float:
+        return float(1.0 / np.sqrt(self.pr * self.ra))
+
+    @property
+    def t_ff(self) -> float:
+        return self.lz**2
+
+    def substep_dts(self) -> np.ndarray:
+        """Solver dt sequence per env step (buoyancy time units); the final
+        entry is clipped so the sum is exactly heater_duration * t_ff."""
+        total = self.heater_duration * self.t_ff
+        dt = self.dt_solver * self.t_ff
+        n_full = int(total / dt + 1e-9)
+        rem = total - n_full * dt
+        if rem > 1e-12 * max(1.0, total):
+            return np.array([dt] * n_full + [rem])
+        return np.array([dt] * n_full)
+
+
+class Fields3D(NamedTuple):
+    u: jax.Array
+    v: jax.Array
+    w: jax.Array
+    b: jax.Array
+    p_hy: jax.Array
+    p_nhs: jax.Array
+
+
+class Solver3D(NamedTuple):
+    grid: Grid3D
+    params: SimParams3D
+    init_random: Callable
+    env_step: Callable  # (Fields3D, action (..., S, S)) -> Fields3D
+    substep: Callable
+    preprocess_action: Callable
+
+
+def _hydrostatic_pressure_3d(b: jax.Array, dz: float, min_b: float) -> jax.Array:
+    b_face = 0.5 * (b[..., :-1] + b[..., 1:])
+    increments = jnp.concatenate(
+        [dz * b_face, jnp.full_like(b[..., :1], 0.5 * dz * min_b)], axis=-1
+    )
+    rev = jnp.flip(increments, axis=-1)
+    return -jnp.flip(jnp.cumsum(rev, axis=-1), axis=-1)
+
+
+def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solver3D:
+    if abs(grid.lz - params.lz) > 1e-12:
+        params = dataclasses.replace(params, lz=grid.lz)
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    dx, dy, dz = grid.dx, grid.dy, grid.dz
+    nu_ = jnp.asarray(params.nu, dtype)
+    kappa = jnp.asarray(params.kappa, dtype)
+    min_b = params.min_b
+
+    c2f = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_c2f(nz))
+    f2c = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_f2c(nz))
+    poisson = make_poisson_solver_3d(nx, ny, nz, dx, dy, dz, dtype)
+    x_centers = grid.x_centers()
+    y_centers = grid.y_centers()
+    dts = params.substep_dts()
+
+    def lap_periodic(q):
+        return st.d2x_periodic(q, dx, X) + st.d2x_periodic(q, dy, Y)
+
+    def tendencies(f: Fields3D, bottom_b: jax.Array):
+        u, v, w, b = f.u, f.v, f.w, f.b
+
+        # ---- u at (fx, cy, cz) --------------------------------------------
+        u_cx = st.interp_f2c_x(u, X)
+        flux = u_cx * st.recon_f2c_periodic(u, u_cx, X)
+        adv = st.ddx_c2f(flux, dx, X)
+
+        v_fxfy = st.interp_c2f_x(v, X)  # v interp x: (fx, fy, cz)
+        flux = v_fxfy * st.recon_c2f_periodic(u, v_fxfy, Y)
+        adv = adv + st.ddx_f2c(flux, dy, Y)
+
+        w_fx = st.interp_c2f_x(w, X)  # (fx, cy, fz); wall faces stay 0
+        flux = w_fx * st.recon_c2f_z(u, w_fx, c2f)
+        adv = adv + st.ddz_f2c(flux, dz)
+
+        gu = (
+            -adv
+            - st.ddx_c2f(f.p_hy, dx, X)
+            + nu_ * (lap_periodic(u) + st.d2z_center_value_bc(u, dz, 0.0, 0.0))
+        )
+
+        # ---- v at (cx, fy, cz) --------------------------------------------
+        u_fxfy = st.interp_c2f_x(u, Y)  # u interp y: (fx, fy, cz)
+        flux = u_fxfy * st.recon_c2f_periodic(v, u_fxfy, X)
+        adv = st.ddx_f2c(flux, dx, X)
+
+        v_cy = st.interp_f2c_x(v, Y)
+        flux = v_cy * st.recon_f2c_periodic(v, v_cy, Y)
+        adv = adv + st.ddx_c2f(flux, dy, Y)
+
+        w_fy = st.interp_c2f_x(w, Y)  # (cx, fy, fz)
+        flux = w_fy * st.recon_c2f_z(v, w_fy, c2f)
+        adv = adv + st.ddz_f2c(flux, dz)
+
+        gv = (
+            -adv
+            - st.ddx_c2f(f.p_hy, dy, Y)
+            + nu_ * (lap_periodic(v) + st.d2z_center_value_bc(v, dz, 0.0, 0.0))
+        )
+
+        # ---- w at (cx, cy, fz); buoyancy absorbed into pHY' ---------------
+        u_fz = st.interp_c2f_z_interior(u)  # (fx, cy, fz), walls 0
+        flux = u_fz * st.recon_c2f_periodic(w, u_fz, X)
+        adv = st.ddx_f2c(flux, dx, X)
+
+        v_fz = st.interp_c2f_z_interior(v)  # (cx, fy, fz)
+        flux = v_fz * st.recon_c2f_periodic(w, v_fz, Y)
+        adv = adv + st.ddx_f2c(flux, dy, Y)
+
+        w_cz = st.interp_f2c_z(w)
+        flux = w_cz * st.recon_f2c_z(w, w_cz, f2c)
+        adv = adv + st.ddz_c2f_interior(flux, dz)
+
+        gw = -adv + nu_ * (lap_periodic(w) + st.d2z_face_interior(w, dz))
+        gw = gw.at[..., 0].set(0.0).at[..., -1].set(0.0)
+
+        # ---- buoyancy tracer ----------------------------------------------
+        flux = u * st.recon_c2f_periodic(b, u, X)
+        adv = st.ddx_f2c(flux, dx, X)
+        flux = v * st.recon_c2f_periodic(b, v, Y)
+        adv = adv + st.ddx_f2c(flux, dy, Y)
+        flux = w * st.recon_c2f_z(b, w, c2f)
+        adv = adv + st.ddz_f2c(flux, dz)
+
+        gb = -adv + kappa * (
+            lap_periodic(b) + st.d2z_center_value_bc(b, dz, bottom_b, min_b)
+        )
+        return gu, gv, gw, gb
+
+    def project(u, v, w, dt_stage):
+        div = st.ddx_f2c(u, dx, X) + st.ddx_f2c(v, dy, Y) + st.ddz_f2c(w, dz)
+        p = poisson(div / dt_stage)
+        u = u - dt_stage * st.ddx_c2f(p, dx, X)
+        v = v - dt_stage * st.ddx_c2f(p, dy, Y)
+        w = w - dt_stage * st.ddz_c2f_interior(p, dz)
+        return u, v, w, p
+
+    def substep(f: Fields3D, bottom_b: jax.Array, dt: jax.Array) -> Fields3D:
+        u, v, w, b = f.u, f.v, f.w, f.b
+        p_nhs = f.p_nhs
+        g_prev = None
+        for m in range(3):
+            gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
+            p_hy = _hydrostatic_pressure_3d(b, dz, min_b)
+            g = tendencies(Fields3D(u, v, w, b, p_hy, p_nhs), bottom_b)
+            if m == 0:
+                u = u + dt * gamma * g[0]
+                v = v + dt * gamma * g[1]
+                w = w + dt * gamma * g[2]
+                b = b + dt * gamma * g[3]
+            else:
+                u = u + dt * (gamma * g[0] + zeta * g_prev[0])
+                v = v + dt * (gamma * g[1] + zeta * g_prev[1])
+                w = w + dt * (gamma * g[2] + zeta * g_prev[2])
+                b = b + dt * (gamma * g[3] + zeta * g_prev[3])
+            g_prev = g
+            u, v, w, p_nhs = project(u, v, w, (gamma + zeta) * dt)
+        p_hy = _hydrostatic_pressure_3d(b, dz, min_b)
+        return Fields3D(u, v, w, b, p_hy, p_nhs)
+
+    def env_step(f: Fields3D, action: jax.Array) -> Fields3D:
+        """Advance one env step; action is the raw (..., S, S) agent action."""
+        tiles = preprocess_action_3d(
+            jnp.asarray(action, dtype),
+            params.heater_limit,
+            params.min_b,
+            params.delta_b,
+        )
+        bottom_b = heater_profile_3d(
+            tiles, x_centers, y_centers, grid.lx, grid.ly, params.n_heaters
+        ).astype(dtype)
+
+        dts_arr = jnp.asarray(dts, dtype)
+
+        def body(carry, dt):
+            return substep(carry, bottom_b, dt), None
+
+        f, _ = jax.lax.scan(body, f, dts_arr)
+        return f
+
+    def init_random(key: jax.Array, batch_shape: Tuple[int, ...] = ()) -> Fields3D:
+        """Reference sim/rbc_sim3D.jl:169-178: conductive profile + kick."""
+        ku, kv, kw, kb = jax.random.split(key, 4)
+        kick = params.random_kick
+        shape_c = batch_shape + (nx, ny, nz)
+        shape_w = batch_shape + (nx, ny, nz + 1)
+        u = kick * jax.random.normal(ku, shape_c, dtype)
+        v = kick * jax.random.normal(kv, shape_c, dtype)
+        w = kick * jax.random.normal(kw, shape_w, dtype)
+        w = w.at[..., 0].set(0.0).at[..., -1].set(0.0)
+        z_c = jnp.asarray(grid.z_centers(), dtype)
+        profile = min_b + (grid.lz - z_c) * params.delta_b / 2.0
+        b = jnp.clip(
+            profile + kick * jax.random.normal(kb, shape_c, dtype),
+            min_b,
+            min_b + params.delta_b,
+        )
+        p_hy = _hydrostatic_pressure_3d(b, dz, min_b)
+        return Fields3D(
+            u=u, v=v, w=w, b=b.astype(dtype), p_hy=p_hy,
+            p_nhs=jnp.zeros(shape_c, dtype),
+        )
+
+    def preprocess(action: jax.Array) -> jax.Array:
+        return preprocess_action_3d(
+            jnp.asarray(action, dtype),
+            params.heater_limit,
+            params.min_b,
+            params.delta_b,
+        )
+
+    return Solver3D(
+        grid=grid,
+        params=params,
+        init_random=init_random,
+        env_step=env_step,
+        substep=substep,
+        preprocess_action=preprocess,
+    )

@@ -1,0 +1,76 @@
+"""3D gym env API tests."""
+
+import warnings
+
+import gymnasium as gym
+import numpy as np
+import pytest
+
+import rbc_gym_tpu  # noqa: F401
+
+SMALL = dict(
+    state_shape=(8, 16, 16),
+    heater_duration=0.125,
+    episode_length=3,  # 3 / (0.125*4) = 6 steps
+)
+
+
+def test_check_env_3d():
+    from gymnasium.utils.env_checker import check_env
+
+    e = gym.make("rbc_gym/RayleighBenardConvection3D-v0", **SMALL)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(e.unwrapped, skip_render_check=True)
+    e.close()
+
+
+def test_reset_step_contract_3d():
+    e = gym.make("rbc_gym/RayleighBenardConvection3D-v0", **SMALL)
+    obs, info = e.reset(seed=11)
+    assert obs.shape == (4, 8, 16, 16)
+    assert info["t"] == 0.0 and info["step"] == 1
+    assert set(info) == {"t", "step", "nusselt"}
+
+    obs, reward, term, trunc, info = e.step(e.action_space.sample())
+    assert not term and not trunc
+    # free-fall bookkeeping: t advances by duration * t_ff = 0.125 * 4
+    assert info["t"] == pytest.approx(0.5)
+    assert reward == pytest.approx(-info["nusselt"])
+    e.close()
+
+
+def test_truncation_3d():
+    e = gym.make("rbc_gym/RayleighBenardConvection3D-v0", **SMALL)
+    e.reset(seed=0)
+    steps, truncated = 0, False
+    while not truncated and steps < 12:
+        *_, truncated, info = e.step(None if False else e.action_space.sample() * 0)
+        steps += 1
+    assert truncated and steps == 6
+    e.close()
+
+
+def test_vector3d_smoke():
+    import jax
+    import jax.numpy as jnp
+    from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
+
+    env = RBC3DVectorEnv(num_envs=2, **SMALL)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (2, 4, 8, 16, 16)
+    state, ts = env.step(state, jnp.zeros((2, 8, 8)))
+    assert np.all(np.isfinite(np.asarray(ts.reward)))
+    np.testing.assert_allclose(
+        np.asarray(ts.reward), -np.asarray(ts.nusselt), rtol=1e-6
+    )
+
+
+def test_render_rgb_3d():
+    e = gym.make(
+        "rbc_gym/RayleighBenardConvection3D-v0", render_mode="rgb_array", **SMALL
+    )
+    e.reset(seed=0)
+    img = e.render()
+    assert img is not None and img.dtype == np.uint8 and img.ndim == 3
+    e.close()
