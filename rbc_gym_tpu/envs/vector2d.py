@@ -46,7 +46,8 @@ class EnvState2D(NamedTuple):
 
 
 class TimeStep(NamedTuple):
-    obs: jax.Array  # (E, C, nz_obs, nx_obs)
+    obs: jax.Array  # (E, C, nz_obs, nx_obs) — next policy input (post-autoreset)
+    final_obs: jax.Array  # pre-autoreset obs (for truncation bootstrapping)
     reward: jax.Array  # (E,)
     terminated: jax.Array  # (E,) always False (no terminal state)
     truncated: jax.Array  # (E,)
@@ -167,17 +168,7 @@ class RBC2DVectorEnv:
 
         ns, no = self._nusselts(fields)
         reward = -no
-        obs = self._observe(fields)
-        ts = TimeStep(
-            obs=obs,
-            reward=reward,
-            terminated=jnp.zeros_like(truncated),
-            truncated=truncated,
-            nusselt_state=ns,
-            nusselt_obs=no,
-            t=t,
-            step=step,
-        )
+        final_obs = self._observe(fields)
 
         if self.auto_reset:
             new_key = jax.vmap(jax.random.fold_in)(state.key, step)
@@ -190,7 +181,21 @@ class RBC2DVectorEnv:
             fields = jax.tree_util.tree_map(pick, fresh, fields)
             t = jnp.where(truncated, 0.0, t)
             step = jnp.where(truncated, 1, step)
+            obs = self._observe(fields)
+        else:
+            obs = final_obs
 
+        ts = TimeStep(
+            obs=obs,
+            final_obs=final_obs,
+            reward=reward,
+            terminated=jnp.zeros_like(truncated),
+            truncated=truncated,
+            nusselt_state=ns,
+            nusselt_obs=no,
+            t=t,
+            step=step,
+        )
         return EnvState2D(fields=fields, t=t, step=step, key=state.key), ts
 
 

@@ -28,7 +28,8 @@ class EnvState3D(NamedTuple):
 
 
 class TimeStep3D(NamedTuple):
-    obs: jax.Array  # (E, 4, nz, ny, nx)
+    obs: jax.Array  # (E, 4, nz, ny, nx) — next policy input (post-autoreset)
+    final_obs: jax.Array  # pre-autoreset obs (for truncation bootstrapping)
     reward: jax.Array
     terminated: jax.Array
     truncated: jax.Array
@@ -142,15 +143,7 @@ class RBC3DVectorEnv:
             self.params.min_b,
             self.params.delta_b,
         )
-        ts = TimeStep3D(
-            obs=self._observe(fields),
-            reward=-nus,
-            terminated=jnp.zeros_like(truncated),
-            truncated=truncated,
-            nusselt=nus,
-            t=t,
-            step=step,
-        )
+        final_obs = self._observe(fields)
 
         if self.auto_reset:
             new_key = jax.vmap(jax.random.fold_in)(state.key, step)
@@ -163,7 +156,20 @@ class RBC3DVectorEnv:
             fields = jax.tree_util.tree_map(pick, fresh, fields)
             t = jnp.where(truncated, 0.0, t)
             step = jnp.where(truncated, 1, step)
+            obs = self._observe(fields)
+        else:
+            obs = final_obs
 
+        ts = TimeStep3D(
+            obs=obs,
+            final_obs=final_obs,
+            reward=-nus,
+            terminated=jnp.zeros_like(truncated),
+            truncated=truncated,
+            nusselt=nus,
+            t=t,
+            step=step,
+        )
         return EnvState3D(fields=fields, t=t, step=step, key=state.key), ts
 
 

@@ -1,0 +1,175 @@
+"""Training callbacks: the reference's SB3 callback roles, JAX-native.
+
+Reference counterparts (callbacks/callbacks.py): NusseltCallback logs
+rollout/nusselt_mean; EvaluationCallback runs a greedy eval rollout and
+keeps the best model; SB3's CheckpointCallback snapshots the model
+periodically. Here a callback is any callable ``cb(metrics: dict, trainer:
+PPO)`` invoked once per training iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+def save_params(params, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(template_params, path: str):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template_params, f.read())
+
+
+class MetricsLogger:
+    """Append metrics to a JSONL file + optional console echo."""
+
+    def __init__(self, path: Optional[str] = None, echo_every: int = 1):
+        self.path = path
+        self.echo_every = echo_every
+        self._t0 = time.time()
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def __call__(self, metrics: dict, trainer) -> None:
+        record = dict(metrics, wall_time=round(time.time() - self._t0, 2))
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if self.echo_every and metrics["iteration"] % self.echo_every == 0:
+            logger.info(
+                "iter %(iteration)d step %(global_step)d "
+                "nusselt %(rollout/nusselt_mean).3f "
+                "reward %(rollout/reward_mean).3f loss %(loss).4f",
+                metrics,
+            )
+
+
+class NusseltCallback:
+    """Track the running-min rollout Nusselt (reference NusseltCallback +
+    the W&B min-summary in run_sarl.py:193-198)."""
+
+    def __init__(self):
+        self.best_nusselt = np.inf
+        self.history = []
+
+    def __call__(self, metrics: dict, trainer) -> None:
+        nu = metrics["rollout/nusselt_mean"]
+        self.history.append(nu)
+        if nu < self.best_nusselt:
+            self.best_nusselt = nu
+        metrics["rollout/nusselt_min"] = self.best_nusselt
+
+
+class CheckpointCallback:
+    """Periodic parameter snapshots (SB3 CheckpointCallback role)."""
+
+    def __init__(self, save_path: str, save_freq: int = 4,
+                 name_prefix: str = "rl_model"):
+        self.save_path = save_path
+        self.save_freq = save_freq
+        self.name_prefix = name_prefix
+
+    def __call__(self, metrics: dict, trainer) -> None:
+        it = metrics["iteration"]
+        if it % self.save_freq == 0:
+            path = os.path.join(
+                self.save_path,
+                f"{self.name_prefix}_{metrics['global_step']}_steps.msgpack",
+            )
+            save_params(trainer.train_state.params, path)
+
+
+class EvaluationCallback:
+    """Greedy eval rollout; saves the best model (reference
+    EvaluationCallback, callbacks/callbacks.py:47-93)."""
+
+    def __init__(self, eval_env, n_steps: int, freq: int = 1,
+                 save_model: bool = False, save_path: Optional[str] = None,
+                 obs_transform=None, seed: int = 0):
+        self.eval_env = eval_env
+        self.n_steps = n_steps
+        self.freq = freq
+        self.save_model = save_model
+        self.save_path = save_path
+        self.obs_transform = obs_transform or (lambda o: o)
+        self.best_mean_reward = -np.inf
+        self._key = jax.random.PRNGKey(seed)
+        self._eval_fn = None
+
+    def _build_eval(self, trainer):
+        env = self.eval_env
+        obs_transform = self.obs_transform
+
+        def eval_fn(params, key):
+            env_state, obs = env.reset(key)
+            obs = obs_transform(obs)
+
+            def step(carry, _):
+                env_state, obs = carry
+                mean, _, _ = trainer.train_state.apply_fn(params, obs)
+                action = jnp.clip(mean, -1.0, 1.0)
+                env_state, ts = env.step(env_state, action)
+                return (env_state, obs_transform(ts.obs)), (
+                    ts.reward,
+                    getattr(ts, "nusselt", getattr(ts, "nusselt_state", None)),
+                )
+
+            _, (rewards, nusselts) = jax.lax.scan(
+                step, (env_state, obs), None, length=self.n_steps
+            )
+            return rewards.mean(), nusselts.mean()
+
+        return jax.jit(eval_fn)
+
+    def __call__(self, metrics: dict, trainer) -> None:
+        if metrics["iteration"] % self.freq != 0:
+            return
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval(trainer)
+        self._key, key = jax.random.split(self._key)
+        mean_reward, mean_nusselt = self._eval_fn(
+            trainer.train_state.params, key
+        )
+        mean_reward = float(mean_reward)
+        metrics["eval/reward"] = mean_reward
+        metrics["eval/nusselt"] = float(mean_nusselt)
+        if mean_reward > self.best_mean_reward:
+            self.best_mean_reward = mean_reward
+            logger.info("New best model with mean reward %s", mean_reward)
+            if self.save_model and self.save_path:
+                save_params(
+                    trainer.train_state.params,
+                    os.path.join(self.save_path, "best_model.msgpack"),
+                )
+
+
+class WandbCallback:
+    """Optional Weights & Biases logging (gated on the wandb import)."""
+
+    def __init__(self, **wandb_init_kwargs):
+        import wandb  # raises if unavailable — keep this callback optional
+
+        self._wandb = wandb
+        if wandb.run is None:
+            wandb.init(**wandb_init_kwargs)
+        wandb.define_metric("rollout/nusselt_mean", summary="min",
+                            step_metric="global_step")
+        wandb.define_metric("*", step_metric="global_step")
+
+    def __call__(self, metrics: dict, trainer) -> None:
+        self._wandb.log(metrics, step=metrics["global_step"])

@@ -1,0 +1,317 @@
+"""On-device PPO, co-located with the vectorized environments.
+
+Replaces the reference's SB3 + SubprocVecEnv stack (experiments/
+run_sarl.py:152-232): there, every env step crosses a process boundary
+twice through multiprocessing pipes carrying full 4x16x32x32 float arrays;
+here rollout collection, GAE, and the clipped-surrogate update are a single
+jitted program over the lockstep vector env — the data never leaves the
+chip.
+
+Algorithmic parity with SB3 PPO (defaults: lr 3e-4, gamma 0.99,
+gae_lambda 0.95, clip 0.2, vf_coef 0.5, max_grad_norm 0.5, advantage
+normalization per minibatch, diagonal Gaussian policy with
+state-independent log_std, actions clipped to the box bounds when stepping
+while log-probs use the unclipped sample). Truncation is bootstrapped with
+V(final_obs) — correct for this suite's fixed-horizon, never-terminating
+episodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    n_steps: int = 16  # rollout length per iteration
+    n_epochs: int = 10  # SGD epochs per iteration (reference rl_n_epochs)
+    n_minibatches: int = 4
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01  # reference rl_ent_coef
+    max_grad_norm: float = 0.5
+    normalize_advantage: bool = True
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    truncated: jax.Array
+    next_value: jax.Array  # V(final_obs) for bootstrapping
+    nusselt: jax.Array
+
+
+def _gaussian_log_prob(action, mean, log_std):
+    var = jnp.exp(2.0 * log_std)
+    lp = -0.5 * ((action - mean) ** 2 / var + 2.0 * log_std + _LOG_2PI)
+    return jnp.sum(lp.reshape(lp.shape[0], -1), axis=-1)
+
+
+def _gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * (_LOG_2PI + 1.0))
+
+
+class PPO:
+    """PPO trainer over a native vector env (RBC2DVectorEnv/RBC3DVectorEnv).
+
+    ``obs_transform`` maps raw env observations to policy inputs (e.g. the
+    functional observation normalizer); it runs inside the compiled loop.
+    """
+
+    def __init__(
+        self,
+        env,
+        model,
+        config: PPOConfig = PPOConfig(),
+        obs_transform: Optional[Callable] = None,
+        reward_transform: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.env = env
+        self.model = model
+        self.config = config
+        self.obs_transform = obs_transform or (lambda o: o)
+        self.reward_transform = reward_transform or (lambda r: r)
+
+        key = jax.random.PRNGKey(seed)
+        self.key, init_key, env_key = jax.random.split(key, 3)
+        self.env_state, obs0 = env.reset(env_key)
+        obs0 = self.obs_transform(obs0)
+        params = model.init(init_key, obs0[:1])
+        tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.learning_rate, eps=1e-5),
+        )
+        self.train_state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx
+        )
+        self.last_obs = obs0
+        self._iteration = jax.jit(self._iteration_impl)
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _policy(self, params, obs):
+        mean, log_std, value = self.train_state.apply_fn(params, obs)
+        return mean, log_std, value
+
+    def _rollout(self, train_state, env_state, obs, key):
+        cfg = self.config
+
+        def step_fn(carry, _):
+            env_state, obs, key = carry
+            key, akey = jax.random.split(key)
+            mean, log_std, value = self._policy(train_state.params, obs)
+            noise = jax.random.normal(akey, mean.shape, mean.dtype)
+            action = mean + jnp.exp(log_std) * noise
+            log_prob = _gaussian_log_prob(action, mean, log_std)
+            clipped = jnp.clip(action, -1.0, 1.0)
+
+            env_state, ts = self.env.step(env_state, clipped)
+            next_obs = self.obs_transform(ts.obs)
+            final_obs = self.obs_transform(ts.final_obs)
+            _, _, next_value = self._policy(train_state.params, final_obs)
+            reward = self.reward_transform(ts.reward)
+            nusselt = getattr(ts, "nusselt", None)
+            if nusselt is None:
+                nusselt = ts.nusselt_state
+            tr = Transition(
+                obs=obs,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                reward=reward,
+                truncated=ts.truncated,
+                next_value=next_value,
+                nusselt=nusselt,
+            )
+            return (env_state, next_obs, key), tr
+
+        (env_state, obs, key), traj = jax.lax.scan(
+            step_fn, (env_state, obs, key), None, length=cfg.n_steps
+        )
+        return env_state, obs, key, traj
+
+    def _gae(self, traj: Transition):
+        cfg = self.config
+
+        def scan_fn(carry, tr):
+            adv_next = carry
+            # episodes never terminate -> always bootstrap from next_value;
+            # GAE accumulation stops at episode boundaries (truncation)
+            delta = tr.reward + cfg.gamma * tr.next_value - tr.value
+            adv = delta + cfg.gamma * cfg.gae_lambda * jnp.where(
+                tr.truncated, 0.0, adv_next
+            )
+            return adv, adv
+
+        _, advantages = jax.lax.scan(
+            scan_fn,
+            jnp.zeros_like(traj.value[0]),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    def _loss(self, params, batch, advantages, returns):
+        cfg = self.config
+        mean, log_std, value = self.train_state.apply_fn(params, batch.obs)
+        log_prob = _gaussian_log_prob(batch.action, mean, log_std)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+
+        if cfg.normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (
+                advantages.std() + 1e-8
+            )
+        pg1 = -advantages * ratio
+        pg2 = -advantages * jnp.clip(
+            ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps
+        )
+        pg_loss = jnp.maximum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        entropy = _gaussian_entropy(log_std)
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+
+        approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio))
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32)
+        )
+        return loss, {
+            "loss": loss,
+            "policy_loss": pg_loss,
+            "value_loss": v_loss,
+            "entropy": entropy,
+            "approx_kl": approx_kl,
+            "clip_fraction": clip_frac,
+        }
+
+    def _update(self, train_state, traj, advantages, returns, key):
+        cfg = self.config
+        batch_size = cfg.n_steps * self.env.num_envs
+        mb_size = batch_size // cfg.n_minibatches
+
+        # Flatten every leaf to lane-aligned 2D (batch, features) before the
+        # shuffle gather: permutation gathers on high-rank tensors with small
+        # minor dims force XLA into badly padded VMEM tiles (observed 4x
+        # inflation and scoped-vmem OOM on v5e); a (batch, 65536)-style gather
+        # streams cleanly. Shapes are restored inside the minibatch loss.
+        data = dict(
+            obs=traj.obs,
+            action=traj.action,
+            log_prob=traj.log_prob,
+            value=traj.value,
+            adv=advantages,
+            ret=returns,
+        )
+        shapes = {k: v.shape[2:] for k, v in data.items()}
+        flat = {
+            k: v.reshape(batch_size, -1) for k, v in data.items()
+        }
+
+        def epoch_fn(carry, _):
+            train_state, key = carry
+            key, pkey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, batch_size)
+            shuffled = {
+                k: jnp.take(v, perm, axis=0).reshape(
+                    (cfg.n_minibatches, mb_size) + v.shape[1:]
+                )
+                for k, v in flat.items()
+            }
+
+            def mb_fn(train_state, mb_flat):
+                mb = {
+                    k: v.reshape((mb_size,) + shapes[k])
+                    for k, v in mb_flat.items()
+                }
+                batch = Transition(
+                    obs=mb["obs"],
+                    action=mb["action"],
+                    log_prob=mb["log_prob"],
+                    value=mb["value"],
+                    reward=None,
+                    truncated=None,
+                    next_value=None,
+                    nusselt=None,
+                )
+                grads, metrics = jax.grad(self._loss, has_aux=True)(
+                    train_state.params, batch, mb["adv"], mb["ret"]
+                )
+                return train_state.apply_gradients(grads=grads), metrics
+
+            train_state, metrics = jax.lax.scan(mb_fn, train_state, shuffled)
+            return (train_state, key), metrics
+
+        (train_state, key), metrics = jax.lax.scan(
+            epoch_fn, (train_state, key), None, length=cfg.n_epochs
+        )
+        metrics = jax.tree_util.tree_map(lambda a: a.mean(), metrics)
+        return train_state, key, metrics
+
+    def _iteration_impl(self, train_state, env_state, obs, key):
+        env_state, obs, key, traj = self._rollout(
+            train_state, env_state, obs, key
+        )
+        advantages, returns = self._gae(traj)
+        train_state, key, metrics = self._update(
+            train_state, traj, advantages, returns, key
+        )
+        metrics = dict(metrics)
+        metrics["rollout/reward_mean"] = traj.reward.mean()
+        metrics["rollout/nusselt_mean"] = traj.nusselt.mean()
+        metrics["rollout/value_mean"] = traj.value.mean()
+        return train_state, env_state, obs, key, metrics
+
+    # ------------------------------------------------------------------
+    def learn(
+        self,
+        iterations: int,
+        callbacks: Tuple[Callable, ...] = (),
+    ) -> Dict[str, float]:
+        """Run training iterations; callbacks(metrics_dict, trainer) per iter."""
+        metrics_np: Dict[str, float] = {}
+        for it in range(iterations):
+            (
+                self.train_state,
+                self.env_state,
+                self.last_obs,
+                self.key,
+                metrics,
+            ) = self._iteration(
+                self.train_state, self.env_state, self.last_obs, self.key
+            )
+            self.global_step += self.config.n_steps * self.env.num_envs
+            metrics_np = {k: float(v) for k, v in metrics.items()}
+            metrics_np["global_step"] = self.global_step
+            metrics_np["iteration"] = it
+            for cb in callbacks:
+                cb(metrics_np, self)
+        return metrics_np
+
+    # ------------------------------------------------------------------
+    def predict(self, obs, deterministic: bool = True):
+        """Greedy (or sampled) action for evaluation, matching SB3 predict."""
+        mean, log_std, _ = self._policy(self.train_state.params, obs)
+        if deterministic:
+            return jnp.clip(mean, -1.0, 1.0)
+        self.key, akey = jax.random.split(self.key)
+        a = mean + jnp.exp(log_std) * jax.random.normal(
+            akey, mean.shape, mean.dtype
+        )
+        return jnp.clip(a, -1.0, 1.0)

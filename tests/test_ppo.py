@@ -1,0 +1,125 @@
+"""PPO training-loop tests on tiny envs."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
+from rbc_gym_tpu.models import RBCActorCritic
+from rbc_gym_tpu.rl import (
+    PPO,
+    PPOConfig,
+    CheckpointCallback,
+    EvaluationCallback,
+    MetricsLogger,
+    NusseltCallback,
+    load_params,
+    save_params,
+)
+from rbc_gym_tpu.wrappers import functional as fn
+
+
+def _make_trainer(tmp_path=None, n_envs=2, n_steps=4):
+    env = RBC3DVectorEnv(
+        num_envs=n_envs,
+        state_shape=(16, 32, 32),
+        heater_duration=0.125,
+        episode_length=2,  # 4 steps/episode
+        rayleigh_number=2500,
+    )
+    norm = fn.make_obs_norm_3d(ra=2500, heater_limit=0.9)
+    cfg = PPOConfig(n_steps=n_steps, n_epochs=2, n_minibatches=2)
+    model = RBCActorCritic(action_grid=(8, 8))
+    return PPO(
+        env,
+        model,
+        cfg,
+        obs_transform=lambda o: fn.normalize_observation(o, norm, channel_axis=-4),
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ppo")
+    trainer = _make_trainer()
+    nusselt_cb = NusseltCallback()
+    ckpt_cb = CheckpointCallback(str(tmp / "ckpts"), save_freq=1)
+    logger_cb = MetricsLogger(str(tmp / "metrics.jsonl"))
+    metrics = trainer.learn(2, callbacks=(nusselt_cb, ckpt_cb, logger_cb))
+    return trainer, metrics, nusselt_cb, tmp
+
+
+def test_training_runs_and_metrics(trained):
+    trainer, metrics, nusselt_cb, tmp = trained
+    for k in (
+        "loss",
+        "policy_loss",
+        "value_loss",
+        "entropy",
+        "approx_kl",
+        "rollout/nusselt_mean",
+        "rollout/reward_mean",
+    ):
+        assert k in metrics and np.isfinite(metrics[k]), k
+    assert metrics["global_step"] == 2 * 4 * 2  # iters * n_steps * n_envs
+    assert nusselt_cb.best_nusselt <= metrics["rollout/nusselt_mean"] + 1e-6
+
+
+def test_params_update_and_finite(trained):
+    trainer, *_ = trained
+    leaves = jax.tree_util.tree_leaves(trainer.train_state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert int(trainer.train_state.step) == 2 * 2 * 2  # iters*epochs*minibatches
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, _, _, tmp = trained
+    files = sorted(os.listdir(tmp / "ckpts"))
+    assert files, "no checkpoints written"
+    restored = load_params(
+        trainer.train_state.params, str(tmp / "ckpts" / files[0])
+    )
+    # same pytree structure
+    assert jax.tree_util.tree_structure(restored) == jax.tree_util.tree_structure(
+        trainer.train_state.params
+    )
+
+
+def test_metrics_jsonl(trained):
+    _, _, _, tmp = trained
+    lines = open(tmp / "metrics.jsonl").read().strip().splitlines()
+    assert len(lines) == 2
+
+
+def test_predict_deterministic(trained):
+    trainer, *_ = trained
+    obs = trainer.last_obs
+    a1 = trainer.predict(obs, deterministic=True)
+    a2 = trainer.predict(obs, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert a1.shape == (2, 8, 8)
+    assert np.all(np.abs(np.asarray(a1)) <= 1.0)
+
+
+def test_evaluation_callback(trained):
+    trainer, *_ , tmp = trained
+    eval_env = RBC3DVectorEnv(
+        num_envs=1,
+        state_shape=(16, 32, 32),
+        heater_duration=0.125,
+        episode_length=1,
+        rayleigh_number=2500,
+    )
+    norm = fn.make_obs_norm_3d(ra=2500, heater_limit=0.9)
+    cb = EvaluationCallback(
+        eval_env, n_steps=2, save_model=True, save_path=str(tmp / "best"),
+        obs_transform=lambda o: fn.normalize_observation(o, norm, channel_axis=-4),
+    )
+    metrics = {"iteration": 0, "global_step": 0}
+    cb(metrics, trainer)
+    assert "eval/reward" in metrics and np.isfinite(metrics["eval/reward"])
+    assert os.path.exists(tmp / "best" / "best_model.msgpack")
