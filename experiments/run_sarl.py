@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Single-agent PPO training on the 3D RBC environment (TPU-native).
+
+Mirrors the reference experiments/run_sarl.py CLI surface: a YAML config (or
+in-script defaults) with the same keys, an output directory with a frozen
+config snapshot, periodic checkpoints, eval with best-model saving, and
+optional W&B. The SB3 + SubprocVecEnv machinery (one OS process + embedded
+Julia runtime per env) is replaced by the lockstep vector env + jitted PPO —
+the rollout never leaves the chip.
+
+Usage:
+  python experiments/run_sarl.py --config config.yaml --output_dir results/run1
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger("run_sarl")
+
+DEFAULT_CONFIG = {
+    # reference defaults (experiments/run_sarl.py:61-92), with n_envs raised
+    # because lockstep envs are nearly free compared to subprocesses
+    "rl_n_steps": 4,
+    "rl_n_envs": 16,
+    "rl_batch_size": 16,
+    "rl_n_epochs": 10,
+    "rl_ent_coef": 0.01,
+    "rl_learning_rate": 3e-4,
+    "rl_stat_window_size": 50,
+    "rl_nr_iterations": 10,
+    "rbc_heater_duration": 0.375,
+    "rbc_heater_limit": 0.9,
+    "rbc_rayleigh_number": 2500,
+    "rbc_episode_length": 10,
+    "rbc_state_shape": [16, 32, 32],
+    "rbc_dt_solver": 0.01,
+    "rbc_checkpoint": None,  # path to a 3D bank; None = random ICs
+    "rbc_checkpoint_idx": None,
+    "seed": 0,
+}
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    datestring = datetime.now().strftime("%Y%m%d_%H%M%S")
+    p.add_argument("--output_dir", type=str,
+                   default=f"results/run_local_{datestring}")
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--wandb", action="store_true",
+                   help="enable W&B logging (requires wandb installed)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = dict(DEFAULT_CONFIG)
+    if args.config and os.path.isfile(args.config):
+        import yaml
+
+        with open(args.config) as f:
+            config.update(yaml.safe_load(f))
+        logger.info("Loaded config from %s", args.config)
+    else:
+        logger.info("No config file provided; using in-script defaults.")
+
+    rollout_buffer_size = config["rl_n_steps"] * config["rl_n_envs"]
+    assert rollout_buffer_size % config["rl_batch_size"] == 0, (
+        "rollout_buffer_size must be divisible by batch_size"
+    )
+    n_minibatches = rollout_buffer_size // config["rl_batch_size"]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(config, f)
+
+    from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
+    from rbc_gym_tpu.models import RBCActorCritic
+    from rbc_gym_tpu.rl import (
+        PPO,
+        PPOConfig,
+        CheckpointCallback,
+        EvaluationCallback,
+        MetricsLogger,
+        NusseltCallback,
+        load_params,
+    )
+    from rbc_gym_tpu.wrappers import functional as fn
+
+    env_kwargs = dict(
+        rayleigh_number=config["rbc_rayleigh_number"],
+        state_shape=tuple(config["rbc_state_shape"]),
+        heater_duration=config["rbc_heater_duration"],
+        heater_limit=config["rbc_heater_limit"],
+        episode_length=config["rbc_episode_length"],
+        dt_solver=config["rbc_dt_solver"],
+        checkpoint=config["rbc_checkpoint"],
+        checkpoint_idx=config["rbc_checkpoint_idx"],
+    )
+    env = RBC3DVectorEnv(num_envs=config["rl_n_envs"], **env_kwargs)
+    eval_env = RBC3DVectorEnv(num_envs=max(1, config["rl_n_envs"] // 4),
+                              **env_kwargs)
+
+    norm = fn.make_obs_norm_3d(
+        ra=config["rbc_rayleigh_number"],
+        heater_limit=config["rbc_heater_limit"],
+    )
+
+    def obs_transform(o):
+        return fn.normalize_observation(o, norm, channel_axis=-4)
+
+    ppo_cfg = PPOConfig(
+        n_steps=config["rl_n_steps"],
+        n_epochs=config["rl_n_epochs"],
+        n_minibatches=n_minibatches,
+        ent_coef=config["rl_ent_coef"],
+        learning_rate=config["rl_learning_rate"],
+    )
+    trainer = PPO(
+        env,
+        RBCActorCritic(action_grid=(8, 8)),
+        ppo_cfg,
+        obs_transform=obs_transform,
+        seed=config["seed"],
+    )
+    logger.info(
+        "Rollout buffer: %d timesteps per rollout (%d envs x %d steps)",
+        rollout_buffer_size, config["rl_n_envs"], config["rl_n_steps"],
+    )
+
+    ckpt_dir = os.path.join(args.output_dir, "models", "checkpoints")
+    if args.resume_training and os.path.isdir(ckpt_dir):
+        ckpts = sorted(os.listdir(ckpt_dir))
+        if ckpts:
+            path = os.path.join(ckpt_dir, ckpts[-1])
+            logger.info("Resuming from %s", path)
+            params = load_params(trainer.train_state.params, path)
+            trainer.train_state = trainer.train_state.replace(params=params)
+
+    steps_per_ep = env.episode_steps
+    callbacks = [
+        NusseltCallback(),
+        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
+        CheckpointCallback(ckpt_dir, save_freq=4),
+        EvaluationCallback(
+            eval_env,
+            n_steps=steps_per_ep,
+            freq=10,
+            save_model=True,
+            save_path=os.path.join(args.output_dir, "models"),
+            obs_transform=obs_transform,
+        ),
+    ]
+    if args.wandb:
+        from rbc_gym_tpu.rl import WandbCallback
+
+        callbacks.append(
+            WandbCallback(project="rbc-3D-rl", config=config,
+                          dir=args.output_dir)
+        )
+
+    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=tuple(callbacks))
+    logger.info("Final metrics: %s", json.dumps(metrics, indent=2))
+
+    from rbc_gym_tpu.rl import save_params
+
+    save_params(
+        trainer.train_state.params,
+        os.path.join(args.output_dir, "models", "final_model.msgpack"),
+    )
+
+
+if __name__ == "__main__":
+    main()

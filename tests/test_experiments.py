@@ -1,0 +1,123 @@
+"""Smoke tests for the experiment CLIs (tiny configs, CPU)."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+
+def test_run_and_eval_sarl(tmp_path, monkeypatch):
+    cfg = {
+        "rl_n_steps": 2,
+        "rl_n_envs": 2,
+        "rl_batch_size": 2,
+        "rl_n_epochs": 1,
+        "rl_nr_iterations": 2,
+        "rbc_heater_duration": 0.125,
+        "rbc_rayleigh_number": 2500,
+        "rbc_episode_length": 1,
+        "rbc_state_shape": [16, 32, 32],
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "run"
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_sarl.py", "--config", str(cfg_path), "--output_dir", str(out)],
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    import run_sarl
+
+    run_sarl.main()
+
+    assert (out / "config.yaml").exists()
+    assert (out / "metrics.jsonl").exists()
+    assert (out / "models" / "final_model.msgpack").exists()
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["rollout/nusselt_mean"])
+
+    # eval against the final model
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval_sarl.py", str(out), "--model", "models/final_model.msgpack"],
+    )
+    import eval_sarl
+
+    eval_sarl.main()
+
+
+def test_flowstats_tiny(tmp_path, monkeypatch):
+    out = tmp_path / "flowstats.pkl"
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "flowstats_ra.py",
+            "--ra", "500",
+            "--steps", "5",
+            "--state_shape", "8", "16", "16",
+            "--dt_solver", "0.01",
+            "--heater_duration", "0.125",
+            "--out", str(out),
+        ],
+    )
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "experiments", "flowstats"),
+    )
+    import flowstats_ra
+
+    flowstats_ra.main()
+    with open(out, "rb") as f:
+        records = pickle.load(f)
+    assert len(records) == 1
+    assert len(records[0]["nusselt"]) == 5
+    assert np.isfinite(records[0]["nusselt"]).all()
+    assert os.path.exists(str(out).replace(".pkl", ".json"))
+
+
+def test_burnin_bank_roundtrip(tmp_path):
+    """On-device burn-in produces a loadable, turbulent bank."""
+    import jax.numpy as jnp
+    from rbc_gym_tpu.sim import burnin
+    from rbc_gym_tpu.sim.grid import Grid2D
+    from rbc_gym_tpu.utils import checkpoints as ck
+    from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
+    import jax
+
+    grid = Grid2D(nx=32, nz=16, lx=2 * np.pi, lz=2.0)
+    bank = burnin.generate_bank_2d(
+        ra=10_000, n_episodes=3, seed=42, grid=grid, duration=30.0,
+    )
+    assert bank.b.shape == (3, 32, 16)
+    assert bank.w.shape == (3, 32, 17)
+    # episodes are distinct
+    assert not np.allclose(bank.b[0], bank.b[1])
+
+    for ext in ("h5", "npz"):
+        path = str(tmp_path / f"bank.{ext}")
+        ck.save_bank_2d(path, bank)
+        loaded = ck.load_bank_2d(path)
+        np.testing.assert_allclose(loaded.b, bank.b, rtol=1e-7)
+        np.testing.assert_allclose(loaded.w, bank.w, rtol=1e-7)
+        assert loaded.start_seed == 42
+
+    # the bank feeds the vector env
+    env = RBC2DVectorEnv(
+        num_envs=2,
+        state_shape=(16, 32),
+        observation_shape=(8, 16),
+        heater_duration=0.3,
+        episode_length=3.0,
+        checkpoint=str(tmp_path / "bank.h5"),
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.zeros((2, 12)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
