@@ -58,14 +58,49 @@ _UB1_RIGHT = _mirror(_UB1_LEFT)
 # ---------------------------------------------------------------------------
 
 
+def _pad_periodic(q: jax.Array, axis: int, before: int, after: int) -> jax.Array:
+    """One materialized halo pad; all stencil taps then fuse as slices.
+
+    (A chain of jnp.roll calls makes XLA materialize a buffer per shift —
+    observed ~5x the roofline cost; a single concat plus static slices lets
+    the whole stencil fuse into one VPU pass.)
+    """
+    lo = jax.lax.slice_in_dim(q, q.shape[axis] - before, q.shape[axis], axis=axis)
+    hi = jax.lax.slice_in_dim(q, 0, after, axis=axis)
+    return jnp.concatenate([lo, q, hi], axis=axis)
+
+
 def _apply_periodic(q: jax.Array, stencil, axis: int, m_of_point: int) -> jax.Array:
-    """Sum of rolled copies: result[i] = sum_c coeff * q[i + m_of_point + off]."""
+    """result[i] = sum_c coeff * q[i + m_of_point + off] (periodic)."""
+    offs = [m_of_point + off for off, _ in stencil]
+    before, after = max(0, -min(offs)), max(0, max(offs))
+    p = _pad_periodic(q, axis, before, after)
+    n = q.shape[axis]
     out = None
     for off, c in stencil:
-        shift = -(m_of_point + off)  # roll(q, s)[i] = q[i - s]
-        term = c * jnp.roll(q, shift, axis=axis)
+        o = before + m_of_point + off
+        term = c * jax.lax.slice_in_dim(p, o, o + n, axis=axis)
         out = term if out is None else out + term
     return out
+
+
+def _upwind_periodic(
+    q: jax.Array, vel: jax.Array, axis: int, m: int
+) -> jax.Array:
+    """Fused UB5 upwind reconstruction: one halo pad, shared taps, select."""
+    n = q.shape[axis]
+    before, after = 3 - m, 2 + m  # taps span [m-3, m+2]
+    p = _pad_periodic(q, axis, before, after)
+
+    def tap(off):
+        o = before + m + off
+        return jax.lax.slice_in_dim(p, o, o + n, axis=axis)
+
+    t_m3, t_m2, t_m1 = tap(-3), tap(-2), tap(-1)
+    t_0, t_1, t_2 = tap(0), tap(1), tap(2)
+    left = (2 * t_m3 - 13 * t_m2 + 47 * t_m1 + 27 * t_0 - 3 * t_1) / 60
+    right = (2 * t_2 - 13 * t_1 + 47 * t_0 + 27 * t_m1 - 3 * t_m2) / 60
+    return jnp.where(vel > 0, left, right)
 
 
 def recon_c2f_periodic(q: jax.Array, vel_face: jax.Array, axis: int) -> jax.Array:
@@ -74,9 +109,7 @@ def recon_c2f_periodic(q: jax.Array, vel_face: jax.Array, axis: int) -> jax.Arra
     Face i sits between cells i-1 and i (downwind cell m = i for positive
     velocity). ``vel_face`` is the advecting velocity at the faces.
     """
-    left = _apply_periodic(q, _UB5_LEFT, axis, m_of_point=0)
-    right = _apply_periodic(q, _UB5_RIGHT, axis, m_of_point=0)
-    return jnp.where(vel_face > 0, left, right)
+    return _upwind_periodic(q, vel_face, axis, m=0)
 
 
 def recon_f2c_periodic(q: jax.Array, vel_center: jax.Array, axis: int) -> jax.Array:
@@ -85,9 +118,7 @@ def recon_f2c_periodic(q: jax.Array, vel_center: jax.Array, axis: int) -> jax.Ar
     Center i sits between faces i and i+1 (downwind face m = i+1 for positive
     velocity).
     """
-    left = _apply_periodic(q, _UB5_LEFT, axis, m_of_point=1)
-    right = _apply_periodic(q, _UB5_RIGHT, axis, m_of_point=1)
-    return jnp.where(vel_center > 0, left, right)
+    return _upwind_periodic(q, vel_center, axis, m=1)
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +170,92 @@ def z_recon_matrices_f2c(nz: int) -> Tuple[np.ndarray, np.ndarray]:
         _biased_matrix(nz + 1, nz, split=1, biased="left"),
         _biased_matrix(nz + 1, nz, split=1, biased="right"),
     )
+
+
+def _z_order_ladder(n_src: int, n_dst: int, split: int, biased: str) -> np.ndarray:
+    """Per-destination-row stencil order (5/3/1/0) for the bounded direction,
+    by the same fits-in-range rule as ``_biased_matrix``."""
+    ladder = (
+        (5, _UB5_LEFT, _UB5_RIGHT),
+        (3, _UB3_LEFT, _UB3_RIGHT),
+        (1, _UB1_LEFT, _UB1_RIGHT),
+    )
+    orders = np.zeros(n_dst, np.int64)
+    for j in range(n_dst):
+        m = j + split
+        for order, left, right in ladder:
+            stencil = left if biased == "left" else right
+            idx = [m + off for off, _ in stencil]
+            if min(idx) >= 0 and max(idx) < n_src:
+                orders[j] = order
+                break
+    return orders
+
+
+def _z_stencil_candidates(q: jax.Array, n_dst: int, split: int, biased: str):
+    """UB5/UB3/UB1 values at every destination row via fused slices.
+
+    q: (..., n_src). Pads 3 zeros each side (out-of-range taps are only read
+    by rows whose ladder order excludes them, or rows whose advective flux is
+    multiplied by an exactly-zero wall velocity).
+    """
+    n_src = q.shape[-1]
+    pad = [(0, 0)] * (q.ndim - 1) + [(3, 3)]
+    p = jnp.pad(q, pad)
+
+    def tap(off):  # value q[m + off] for dst row j (m = j + split)
+        start = 3 + split + off
+        return jax.lax.slice_in_dim(p, start, start + n_dst, axis=-1)
+
+    out = {}
+    for name, stencil in (
+        ("5", _UB5_LEFT if biased == "left" else _UB5_RIGHT),
+        ("3", _UB3_LEFT if biased == "left" else _UB3_RIGHT),
+        ("1", _UB1_LEFT if biased == "left" else _UB1_RIGHT),
+    ):
+        acc = None
+        for off, c in stencil:
+            term = c * tap(off)
+            acc = term if acc is None else acc + term
+        out[name] = acc
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _z_order_masks(n_src: int, n_dst: int, split: int):
+    masks = {}
+    for biased in ("left", "right"):
+        orders = _z_order_ladder(n_src, n_dst, split, biased)
+        masks[biased] = (orders == 5, orders == 3)
+    return masks
+
+
+def _z_upwind(q: jax.Array, vel: jax.Array, n_dst: int, split: int) -> jax.Array:
+    """Fused upwind-biased z reconstruction with near-wall order reduction.
+
+    Numerically identical to the matrix path (z_recon_matrices_*) but runs as
+    one VPU pass instead of a HIGHEST-precision MXU matmul doing ~10x the
+    arithmetic of the stencil.
+    """
+    n_src = q.shape[-1]
+    masks = _z_order_masks(n_src, n_dst, split)
+
+    def pick(biased):
+        c = _z_stencil_candidates(q, n_dst, split, biased)
+        m5, m3 = masks[biased]
+        return jnp.where(m5, c["5"], jnp.where(m3, c["3"], c["1"]))
+
+    return jnp.where(vel > 0, pick("left"), pick("right"))
+
+
+def recon_c2f_z_fused(q: jax.Array, vel_face: jax.Array) -> jax.Array:
+    """Centered field (..., nz) -> z-faces (..., nz+1), upwind by vel_face."""
+    return _z_upwind(q, vel_face, n_dst=q.shape[-1] + 1, split=0)
+
+
+def recon_f2c_z_fused(q: jax.Array, vel_center: jax.Array) -> jax.Array:
+    """z-face field (..., nz+1) -> centers (..., nz), upwind by vel_center."""
+    return _z_upwind(q, vel_center, n_dst=q.shape[-1] - 1, split=1)
 
 
 def apply_z_matrix(mat: jax.Array, q: jax.Array) -> jax.Array:
@@ -221,10 +338,12 @@ def interp_c2f_z_interior(q: jax.Array) -> jax.Array:
 
 
 def d2x_periodic(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
-    """Second derivative along a periodic axis."""
-    return (jnp.roll(q, -1, axis=axis) - 2.0 * q + jnp.roll(q, 1, axis=axis)) / (
-        dx * dx
-    )
+    """Second derivative along a periodic axis (one pad, fused taps)."""
+    n = q.shape[axis]
+    p = _pad_periodic(q, axis, 1, 1)
+    qm = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+    qp = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
+    return (qp - 2.0 * q + qm) / (dx * dx)
 
 
 def d2z_center_value_bc(

@@ -134,8 +134,6 @@ def make_solver2d(
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    c2f = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_c2f(nz))
-    f2c = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_f2c(nz))
     poisson = make_poisson_solver_2d(nx, nz, dx, dz, dtype)
     x_centers = grid.x_centers()
 
@@ -150,7 +148,7 @@ def make_solver2d(
         adv_u = st.ddx_c2f(flux_uu, dx, X)
 
         w_xf = st.interp_c2f_x(w, X)  # w at (x-face, z-face); walls stay 0
-        flux_wu = w_xf * st.recon_c2f_z(u, w_xf, c2f)
+        flux_wu = w_xf * st.recon_c2f_z_fused(u, w_xf)
         adv_u = adv_u + st.ddz_f2c(flux_wu, dz)
 
         dphy_dx = st.ddx_c2f(f.p_hy, dx, X)
@@ -163,7 +161,7 @@ def make_solver2d(
         adv_w = st.ddx_f2c(flux_uw, dx, X)
 
         w_c = st.interp_f2c_z(w)  # advecting w at centers
-        flux_ww = w_c * st.recon_f2c_z(w, w_c, f2c)
+        flux_ww = w_c * st.recon_f2c_z_fused(w, w_c)
         adv_w = adv_w + st.ddz_c2f_interior(flux_ww, dz)
 
         lap_w = st.d2x_periodic(w, dx, X) + st.d2z_face_interior(w, dz)
@@ -174,7 +172,7 @@ def make_solver2d(
         # ---- buoyancy tracer ----------------------------------------------
         flux_ub = u * st.recon_c2f_periodic(b, u, X)
         adv_b = st.ddx_f2c(flux_ub, dx, X)
-        flux_wb = w * st.recon_c2f_z(b, w, c2f)
+        flux_wb = w * st.recon_c2f_z_fused(b, w)
         adv_b = adv_b + st.ddz_f2c(flux_wb, dz)
 
         lap_b = st.d2x_periodic(b, dx, X) + st.d2z_center_value_bc(

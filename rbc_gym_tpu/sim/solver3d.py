@@ -109,8 +109,6 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    c2f = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_c2f(nz))
-    f2c = tuple(jnp.asarray(m, dtype) for m in st.z_recon_matrices_f2c(nz))
     poisson = make_poisson_solver_3d(nx, ny, nz, dx, dy, dz, dtype)
     x_centers = grid.x_centers()
     y_centers = grid.y_centers()
@@ -132,7 +130,7 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = adv + st.ddx_f2c(flux, dy, Y)
 
         w_fx = st.interp_c2f_x(w, X)  # (fx, cy, fz); wall faces stay 0
-        flux = w_fx * st.recon_c2f_z(u, w_fx, c2f)
+        flux = w_fx * st.recon_c2f_z_fused(u, w_fx)
         adv = adv + st.ddz_f2c(flux, dz)
 
         gu = (
@@ -151,7 +149,7 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = adv + st.ddx_c2f(flux, dy, Y)
 
         w_fy = st.interp_c2f_x(w, Y)  # (cx, fy, fz)
-        flux = w_fy * st.recon_c2f_z(v, w_fy, c2f)
+        flux = w_fy * st.recon_c2f_z_fused(v, w_fy)
         adv = adv + st.ddz_f2c(flux, dz)
 
         gv = (
@@ -170,7 +168,7 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = adv + st.ddx_f2c(flux, dy, Y)
 
         w_cz = st.interp_f2c_z(w)
-        flux = w_cz * st.recon_f2c_z(w, w_cz, f2c)
+        flux = w_cz * st.recon_f2c_z_fused(w, w_cz)
         adv = adv + st.ddz_c2f_interior(flux, dz)
 
         gw = -adv + nu_ * (lap_periodic(w) + st.d2z_face_interior(w, dz))
@@ -181,7 +179,7 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = st.ddx_f2c(flux, dx, X)
         flux = v * st.recon_c2f_periodic(b, v, Y)
         adv = adv + st.ddx_f2c(flux, dy, Y)
-        flux = w * st.recon_c2f_z(b, w, c2f)
+        flux = w * st.recon_c2f_z_fused(b, w)
         adv = adv + st.ddz_f2c(flux, dz)
 
         gb = -adv + kappa * (

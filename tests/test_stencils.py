@@ -103,3 +103,33 @@ def test_d2z_value_bc_linear_profile_zero():
     q = bottom + (top - bottom) * z_c / lz
     out = st.d2z_center_value_bc(jnp.asarray(q)[None, :], dz, bottom, top)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-10)
+
+
+def test_fused_z_recon_matches_matrices():
+    """Slice-based z reconstruction == matrix path wherever the advecting
+    velocity can be nonzero (interior faces / all centers)."""
+    rng = np.random.default_rng(5)
+    nz = 16
+    q = jnp.asarray(rng.normal(size=(3, 8, nz)))
+    vel = jnp.asarray(rng.normal(size=(3, 8, nz + 1)))
+    left, right = st.z_recon_matrices_c2f(nz)
+    want = jnp.where(
+        vel > 0,
+        st.apply_z_matrix(jnp.asarray(left), q),
+        st.apply_z_matrix(jnp.asarray(right), q),
+    )
+    got = st.recon_c2f_z_fused(q, vel)
+    np.testing.assert_allclose(
+        np.asarray(got)[..., 1:-1], np.asarray(want)[..., 1:-1], rtol=1e-12
+    )
+
+    qf = jnp.asarray(rng.normal(size=(3, 8, nz + 1)))
+    velc = jnp.asarray(rng.normal(size=(3, 8, nz)))
+    left, right = st.z_recon_matrices_f2c(nz)
+    want = jnp.where(
+        velc > 0,
+        st.apply_z_matrix(jnp.asarray(left), qf),
+        st.apply_z_matrix(jnp.asarray(right), qf),
+    )
+    got = st.recon_f2c_z_fused(qf, velc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
