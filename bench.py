@@ -17,6 +17,15 @@ import sys
 import time
 
 import jax
+
+# Persistent compile cache: the fused whole-env-step Pallas kernel takes
+# minutes to compile cold; cache hits bring bench startup to seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,0 +1,556 @@
+"""Fused Pallas TPU kernel for the 2D RBC RK3 stage.
+
+Behavioral target: one Runge-Kutta stage of the reference solver
+(Oceananigans ``:RungeKutta3`` + ``UpwindBiasedFifthOrder`` advection,
+sim/rbc_sim2D.jl:149-160) — numerically identical to the XLA stencil path in
+``rbc_gym_tpu.sim.solver2d`` / ``rbc_gym_tpu.ops.stencils``.
+
+Why a kernel: the XLA stencil path materializes ~15 intermediate
+(nx, nz, E)-sized HBM buffers per stage (measured ~3.4 ms per advection
+chain at E=4096), because concatenate-based halo pads break producer
+fusion. This kernel keeps the ENTIRE (nx, nz) grid of an environment slab
+resident in VMEM and runs every stencil, upwind select, and the RK update
+in one pass: HBM traffic drops to the prognostic fields in + out.
+
+Layout: batch-minor (nx, nz[+1], E) with the env axis minor so lanes are
+always full; the grid is over env slabs only — no spatial halos exist at
+all, since each program owns the full periodic-x / bounded-z domain for its
+E_BLK environments.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rbc_gym_tpu.ops.stencils import (
+    _UB1_LEFT,
+    _UB1_RIGHT,
+    _UB3_LEFT,
+    _UB3_RIGHT,
+    _UB5_LEFT,
+    _UB5_RIGHT,
+)
+
+DEFAULT_E_BLK = 128
+
+
+# ---------------------------------------------------------------------------
+# In-kernel stencil helpers (x = axis 0, z = axis 1, env = axis 2)
+# ---------------------------------------------------------------------------
+
+
+def _pad_x(q, before: int, after: int):
+    """Periodic halo along the x (major) axis."""
+    parts = []
+    if before:
+        parts.append(q[-before:])
+    parts.append(q)
+    if after:
+        parts.append(q[:after])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else q
+
+
+def _upwind_x(q, vel, m: int):
+    """UB5 upwind reconstruction along periodic x (matches stencils._upwind_periodic)."""
+    n = q.shape[0]
+    before, after = 3 - m, 2 + m
+    p = _pad_x(q, before, after)
+
+    def tap(off):
+        o = before + m + off
+        return p[o : o + n]
+
+    t_m3, t_m2, t_m1 = tap(-3), tap(-2), tap(-1)
+    t_0, t_1, t_2 = tap(0), tap(1), tap(2)
+    left = (2 * t_m3 - 13 * t_m2 + 47 * t_m1 + 27 * t_0 - 3 * t_1) / 60
+    right = (2 * t_2 - 13 * t_1 + 47 * t_0 + 27 * t_m1 - 3 * t_m2) / 60
+    return jnp.where(vel > 0, left, right)
+
+
+def _stencil_fit_range(stencil, n_src: int) -> Tuple[int, int]:
+    """Inclusive range of m for which every tap m+off lies in [0, n_src)."""
+    offs = [off for off, _ in stencil]
+    return -min(offs), n_src - 1 - max(offs)
+
+
+def _pad_z(q, before: int, after: int):
+    """Zero pad along the z (sublane) axis."""
+    zshape = list(q.shape)
+    parts = []
+    if before:
+        zshape[1] = before
+        parts.append(jnp.zeros(tuple(zshape), q.dtype))
+    parts.append(q)
+    if after:
+        zshape[1] = after
+        parts.append(jnp.zeros(tuple(zshape), q.dtype))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else q
+
+
+def _z_candidate(q, n_dst: int, split: int, stencil):
+    """Apply one z stencil at every destination row via fused sublane slices."""
+    p = _pad_z(q, 3, 3)
+
+    def tap(off):
+        s = 3 + split + off
+        return p[:, s : s + n_dst]
+
+    acc = None
+    for off, c in stencil:
+        term = c * tap(off)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _z_row_mask(n_dst: int, lo_m: int, hi_m: int, split: int, shape):
+    """Boolean mask over z rows j where the stencil (at m = j + split) fits."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+    return (rows >= lo_m - split) & (rows <= hi_m - split)
+
+
+def _z_upwind(q, vel, n_dst: int, split: int):
+    """Upwind-biased z reconstruction with UB5->UB3->UB1 wall order reduction.
+
+    Matches stencils._z_upwind exactly: per-row order is the highest whose
+    support fits; rows where not even UB1 fits read padded zeros and are
+    multiplied by an exactly-zero wall velocity downstream.
+    """
+    n_src = q.shape[1]
+    shape = (q.shape[0], n_dst, q.shape[2])
+
+    def pick(s5, s3, s1):
+        c5 = _z_candidate(q, n_dst, split, s5)
+        c3 = _z_candidate(q, n_dst, split, s3)
+        c1 = _z_candidate(q, n_dst, split, s1)
+        lo5, hi5 = _stencil_fit_range(s5, n_src)
+        lo3, hi3 = _stencil_fit_range(s3, n_src)
+        m5 = _z_row_mask(n_dst, lo5, hi5, split, shape)
+        m3 = _z_row_mask(n_dst, lo3, hi3, split, shape) & ~m5
+        return jnp.where(m5, c5, jnp.where(m3, c3, c1))
+
+    left = pick(_UB5_LEFT, _UB3_LEFT, _UB1_LEFT)
+    right = pick(_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT)
+    return jnp.where(vel > 0, left, right)
+
+
+def _zero_z_walls(q):
+    mask = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=1)
+    interior = (mask > 0) & (mask < q.shape[1] - 1)
+    return jnp.where(interior, q, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The stage kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_grid_ops(dx: float, dz: float):
+    """Staggered-grid difference/interp helpers on (nx, nz[+1], E) arrays."""
+
+    def ddx_c2f(q):  # (q[i] - q[i-1]) / dx, periodic
+        p = _pad_x(q, 1, 0)
+        return (p[1:] - p[:-1]) / dx
+
+    def ddx_f2c(q):  # (q[i+1] - q[i]) / dx, periodic
+        p = _pad_x(q, 0, 1)
+        return (p[1:] - p[:-1]) / dx
+
+    def interp_f2c_x(q):
+        p = _pad_x(q, 0, 1)
+        return 0.5 * (p[:-1] + p[1:])
+
+    def interp_c2f_x(q):
+        p = _pad_x(q, 1, 0)
+        return 0.5 * (p[:-1] + p[1:])
+
+    def d2x(q):
+        p = _pad_x(q, 1, 1)
+        n = q.shape[0]
+        return (p[2 : n + 2] - 2.0 * q + p[0:n]) / (dx * dx)
+
+    def ddz_f2c(q):
+        return (q[:, 1:] - q[:, :-1]) / dz
+
+    def ddz_c2f_interior(q):
+        interior = (q[:, 1:] - q[:, :-1]) / dz
+        return _pad_z(interior, 1, 1)
+
+    def interp_f2c_z(q):
+        return 0.5 * (q[:, :-1] + q[:, 1:])
+
+    def interp_c2f_z_interior(q):
+        interior = 0.5 * (q[:, :-1] + q[:, 1:])
+        return _pad_z(interior, 1, 1)
+
+    def d2z_value_bc(q, bottom_value, top_value):
+        n = q.shape[1]
+        if not isinstance(bottom_value, float):
+            bottom_value = bottom_value[:, None]  # (nx, E) -> (nx, 1, E)
+        ghost_b = 2.0 * bottom_value - q[:, 0:1]
+        ghost_t = 2.0 * top_value - q[:, n - 1 : n]
+        qm = jnp.concatenate([ghost_b, q[:, :-1]], axis=1)
+        qp = jnp.concatenate([q[:, 1:], ghost_t], axis=1)
+        return (qp - 2.0 * q + qm) / (dz * dz)
+
+    def d2z_face_interior(q):
+        interior = (q[:, 2:] - 2.0 * q[:, 1:-1] + q[:, :-2]) / (dz * dz)
+        return _pad_z(interior, 1, 1)
+
+    return locals()
+
+
+def _tendencies(u, w, b, p_hy, bottom, *, nu, kappa, min_b, dx, dz):
+    """All three UB5 flux-form tendency fields (numerics identical to the
+    XLA stencil path in sim/solver2d.py tendencies_bm)."""
+    o = _make_grid_ops(dx, dz)
+    nz = u.shape[1]
+
+    # ---- u momentum --------------------------------------------------------
+    u_c = o["interp_f2c_x"](u)
+    flux_uu = u_c * _upwind_x(u, u_c, m=1)
+    adv_u = o["ddx_c2f"](flux_uu)
+
+    w_xf = o["interp_c2f_x"](w)
+    flux_wu = w_xf * _z_upwind(u, w_xf, n_dst=nz + 1, split=0)
+    adv_u = adv_u + o["ddz_f2c"](flux_wu)
+
+    dphy_dx = o["ddx_c2f"](p_hy)
+    lap_u = o["d2x"](u) + o["d2z_value_bc"](u, 0.0, 0.0)
+    gu = -adv_u - dphy_dx + nu * lap_u
+
+    # ---- w momentum (buoyancy absorbed into pHY') --------------------------
+    u_zf = o["interp_c2f_z_interior"](u)
+    flux_uw = u_zf * _upwind_x(w, u_zf, m=0)
+    adv_w = o["ddx_f2c"](flux_uw)
+
+    w_c = o["interp_f2c_z"](w)
+    flux_ww = w_c * _z_upwind(w, w_c, n_dst=nz, split=1)
+    adv_w = adv_w + o["ddz_c2f_interior"](flux_ww)
+
+    lap_w = o["d2x"](w) + o["d2z_face_interior"](w)
+    gw = _zero_z_walls(-adv_w + nu * lap_w)
+
+    # ---- buoyancy tracer ---------------------------------------------------
+    flux_ub = u * _upwind_x(b, u, m=0)
+    adv_b = o["ddx_f2c"](flux_ub)
+    flux_wb = w * _z_upwind(b, w, n_dst=nz + 1, split=0)
+    adv_b = adv_b + o["ddz_f2c"](flux_wb)
+
+    lap_b = o["d2x"](b) + o["d2z_value_bc"](b, bottom, min_b)
+    gb = -adv_b + kappa * lap_b
+
+    return gu, gw, gb
+
+
+def _tendency_kernel(
+    refs,
+    *,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    dx: float,
+    dz: float,
+):
+    """Compute all three UB5 tendency fields for one env slab in one pass.
+
+    RK update / divergence / projection stay outside (cheap, XLA-fusable);
+    keeping the kernel to 8 operands keeps double-buffered pipeline VMEM +
+    the stencil scratch stack inside the 128 MiB budget.
+    """
+    (u_r, w_r, b_r, phy_r, bot_r, gu_r, gw_r, gb_r) = refs
+    gu, gw, gb = _tendencies(
+        u_r[:], w_r[:], b_r[:], phy_r[:], bot_r[:],
+        nu=nu, kappa=kappa, min_b=min_b, dx=dx, dz=dz,
+    )
+    gu_r[:] = gu
+    gw_r[:] = gw
+    gb_r[:] = gb
+
+
+# RK3 coefficients of the reference's :RungeKutta3 (sim/rbc_sim2D_api.jl),
+# duplicated from sim/solver2d.py to avoid a circular import.
+_RK3_GAMMA = (8.0 / 15.0, 5.0 / 12.0, 3.0 / 4.0)
+_RK3_ZETA = (0.0, -17.0 / 60.0, -5.0 / 12.0)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _env_step_kernel(
+    refs,
+    *,
+    n_substeps: int,
+    dt: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    dx: float,
+    dz: float,
+):
+    """The ENTIRE env step (n_substeps x RK3 + projections) for one env slab.
+
+    Fields stay resident in VMEM across every substep: HBM traffic for the
+    whole heater interval is one read of (u, w, b) plus one write of
+    (u, w, b, p_nhs) per slab. The Poisson solve runs on the MXU in-kernel
+    (bit-identical contraction order to ops/poisson.make_poisson_solver_2d_bm);
+    the hydrostatic pressure is a triangular-matrix z-contraction.
+    """
+    (u_r, w_r, b_r, bot_r, f_r, g_r, inv_r, uhy_r,
+     uo_r, wo_r, bo_r, pnhs_r) = refs
+
+    bottom = bot_r[:]
+    f_mat = f_r[:]        # (nx, nx) real-DFT analysis
+    g_mat = g_r[:]        # (nx, nx) synthesis
+    inv_rows = inv_r[:]   # (nx, nz, nz) per-mode vertical inverse (f, z)
+    u_hy = uhy_r[:]       # (nz, nz) upper-triangular ones (j >= k)
+
+    o = _make_grid_ops(dx, dz)
+    nz = u_r.shape[1]
+
+    def hydro(b):
+        """pHY'[k] = -sum_{j>=k} inc[j]; matches solver2d._hydrostatic_pressure
+        up to f32 summation order (matmul vs cumulative sum)."""
+        b_face = 0.5 * (b[:, :-1] + b[:, 1:])
+        top = jnp.full_like(b[:, 0:1], 0.5 * dz * min_b)
+        inc = jnp.concatenate([dz * b_face, top], axis=1)  # (nx, nz, E)
+        t = jax.lax.dot_general(
+            u_hy, inc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )  # (k, nx, E)
+        return -jnp.transpose(t, (1, 0, 2))
+
+    def poisson(rhs):
+        rhat = jax.lax.dot_general(
+            f_mat, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        phat = jax.lax.dot_general(
+            inv_rows, rhat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        return jax.lax.dot_general(
+            g_mat, phat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def substep(carry, _):
+        u, w, b, p_nhs = carry
+        g_prev = None
+        for m in range(3):
+            gamma, zeta = _RK3_GAMMA[m], _RK3_ZETA[m]
+            p_hy = hydro(b)
+            gu, gw, gb = _tendencies(
+                u, w, b, p_hy, bottom,
+                nu=nu, kappa=kappa, min_b=min_b, dx=dx, dz=dz,
+            )
+            if m == 0:
+                u = u + dt * gamma * gu
+                w = w + dt * gamma * gw
+                b = b + dt * gamma * gb
+            else:
+                u = u + dt * (gamma * gu + zeta * g_prev[0])
+                w = w + dt * (gamma * gw + zeta * g_prev[1])
+                b = b + dt * (gamma * gb + zeta * g_prev[2])
+            g_prev = (gu, gw, gb)
+            dt_stage = (gamma + zeta) * dt
+            div = o["ddx_f2c"](u) + o["ddz_f2c"](w)
+            p_nhs = poisson(div / dt_stage)
+            u = u - dt_stage * o["ddx_c2f"](p_nhs)
+            w = w - dt_stage * o["ddz_c2f_interior"](p_nhs)
+        return (u, w, b, p_nhs)
+
+    init = (u_r[:], w_r[:], b_r[:], jnp.zeros_like(u_r[:]))
+    u, w, b, p_nhs = jax.lax.fori_loop(
+        0, n_substeps, lambda i, c: substep(c, i), init
+    )
+    uo_r[:] = u
+    wo_r[:] = w
+    bo_r[:] = b
+    pnhs_r[:] = p_nhs
+
+
+@functools.lru_cache(maxsize=None)
+def make_env_step_fused_2d(
+    nx: int,
+    nz: int,
+    dx: float,
+    dz: float,
+    dt: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    n_substeps: int,
+    e_blk: int = DEFAULT_E_BLK,
+    interpret: bool = False,
+    vmem_limit_mb: int = 120,
+):
+    """Build the whole-env-step fused function.
+
+    Returns ``step(u, w, b, bottom)`` over batch-minor (nx, nz[+1], E)
+    fields -> (u', w', b', p_nhs') after ``n_substeps`` RK3 substeps.
+    """
+    # Setup-time constants (float64 numpy, cast to f32 once).
+    from rbc_gym_tpu.ops.poisson import (
+        _dft_eigenvalues,
+        _real_dft_matrices,
+        _vertical_inverses,
+    )
+
+    f_mat, g_mat, row_modes = _real_dft_matrices(nx)
+    lams = _dft_eigenvalues(nx, dx)
+    inv_rows = np.swapaxes(_vertical_inverses(lams, nz, dz)[row_modes], -1, -2)
+    u_hy = np.triu(np.ones((nz, nz)))  # [k, j] = 1 where j >= k
+
+    consts = (
+        jnp.asarray(f_mat, jnp.float32),
+        jnp.asarray(g_mat, jnp.float32),
+        jnp.asarray(inv_rows, jnp.float32),
+        jnp.asarray(u_hy, jnp.float32),
+    )
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _env_step_kernel(refs, **kw),
+        n_substeps=n_substeps,
+        dt=dt,
+        nu=nu,
+        kappa=kappa,
+        min_b=min_b,
+        dx=dx,
+        dz=dz,
+    )
+
+    def field_spec(nk):
+        return pl.BlockSpec(
+            (nx, nk, e_blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        field_spec(nz),      # u
+        field_spec(nz + 1),  # w
+        field_spec(nz),      # b
+        pl.BlockSpec((nx, e_blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        const_spec((nx, nx)),
+        const_spec((nx, nx)),
+        const_spec((nx, nz, nz)),
+        const_spec((nz, nz)),
+    ]
+    out_specs = (
+        field_spec(nz),      # u'
+        field_spec(nz + 1),  # w'
+        field_spec(nz),      # b'
+        field_spec(nz),      # p_nhs'
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+    )
+
+    def step(u, w, b, bottom):
+        e = u.shape[-1]
+        if e % e_blk:
+            raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+        dtype = u.dtype
+        out_shape = (
+            jax.ShapeDtypeStruct((nx, nz, e), dtype),
+            jax.ShapeDtypeStruct((nx, nz + 1, e), dtype),
+            jax.ShapeDtypeStruct((nx, nz, e), dtype),
+            jax.ShapeDtypeStruct((nx, nz, e), dtype),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(e // e_blk,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(u, w, b, bottom, *consts)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def make_tendencies_2d(
+    nx: int,
+    nz: int,
+    dx: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    e_blk: int = DEFAULT_E_BLK,
+    interpret: bool = False,
+    vmem_limit_mb: int = 112,
+):
+    """Build the fused tendency function.
+
+    Returns ``tend(u, w, b, p_hy, bottom)`` over batch-minor fields
+    (nx, nz[+1], E), E a multiple of ``e_blk`` -> (gu, gw, gb).
+    """
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _tendency_kernel(refs, **kw),
+        nu=nu,
+        kappa=kappa,
+        min_b=min_b,
+        dx=dx,
+        dz=dz,
+    )
+
+    def field_spec(nk):
+        return pl.BlockSpec(
+            (nx, nk, e_blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    bottom_spec = pl.BlockSpec(
+        (nx, e_blk), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        field_spec(nz),      # u
+        field_spec(nz + 1),  # w
+        field_spec(nz),      # b
+        field_spec(nz),      # p_hy
+        bottom_spec,         # bottom_b
+    ]
+    out_specs = (
+        field_spec(nz),      # gu
+        field_spec(nz + 1),  # gw
+        field_spec(nz),      # gb
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+    )
+
+    def tend(u, w, b, p_hy, bottom):
+        e = u.shape[-1]
+        if e % e_blk:
+            raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+        dtype = u.dtype
+        out_shape = (
+            jax.ShapeDtypeStruct((nx, nz, e), dtype),
+            jax.ShapeDtypeStruct((nx, nz + 1, e), dtype),
+            jax.ShapeDtypeStruct((nx, nz, e), dtype),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(e // e_blk,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(u, w, b, p_hy, bottom)
+
+    return tend

@@ -119,6 +119,32 @@ def make_poisson_solver_2d(
     return solve
 
 
+def make_poisson_solver_2d_bm(
+    nx: int, nz: int, dx: float, dz: float, dtype=jnp.float32
+) -> Callable[[jax.Array], jax.Array]:
+    """Batch-minor variant: RHS shaped (nx, nz, E) with the env axis minor.
+
+    Identical math to ``make_poisson_solver_2d`` but with every matmul laid
+    out so the env axis stays in the TPU lane dimension: the modal inverse is
+    a batched (nx) matmul (nz, nz) @ (nz, E).
+    """
+    f_mat, g_mat, row_modes = _real_dft_matrices(nx)
+    lams = _dft_eigenvalues(nx, dx)
+    inv_rows = _vertical_inverses(lams, nz, dz)[row_modes]  # (nx, nz, nz)
+
+    f_mat = jnp.asarray(f_mat, dtype)
+    g_mat = jnp.asarray(g_mat, dtype)
+    # inv_rows[m, f, z]: output row f, contraction z
+    inv_rows = jnp.asarray(np.swapaxes(inv_rows, -1, -2), dtype)
+
+    def solve(rhs: jax.Array) -> jax.Array:
+        rhat = jnp.einsum("mx,xze->mze", f_mat, rhs, precision=_HIGHEST)
+        phat = jnp.einsum("mfz,mze->mfe", inv_rows, rhat, precision=_HIGHEST)
+        return jnp.einsum("xm,mfe->xfe", g_mat, phat, precision=_HIGHEST)
+
+    return solve
+
+
 def make_poisson_solver_3d(
     nx: int,
     ny: int,

@@ -192,20 +192,39 @@ def _z_order_ladder(n_src: int, n_dst: int, split: int, biased: str) -> np.ndarr
     return orders
 
 
-def _z_stencil_candidates(q: jax.Array, n_dst: int, split: int, biased: str):
+def _pad_zeros(q: jax.Array, axis: int, before: int, after: int) -> jax.Array:
+    pad = [(0, 0)] * q.ndim
+    pad[axis % q.ndim] = (before, after)
+    return jnp.pad(q, pad)
+
+
+def _expand_at(value, axis: int):
+    """Broadcast helper: insert the (removed) stencil axis into a wall value."""
+    value = jnp.asarray(value)
+    if value.ndim == 0:
+        return value
+    return jnp.expand_dims(value, axis)
+
+
+def _mask_at(mask: np.ndarray, axis: int) -> np.ndarray:
+    """Reshape a per-row (n_dst,) mask so it broadcasts along ``axis`` < 0."""
+    return mask.reshape(mask.shape + (1,) * (-1 - axis))
+
+
+def _z_stencil_candidates(
+    q: jax.Array, n_dst: int, split: int, biased: str, axis: int = -1
+):
     """UB5/UB3/UB1 values at every destination row via fused slices.
 
-    q: (..., n_src). Pads 3 zeros each side (out-of-range taps are only read
-    by rows whose ladder order excludes them, or rows whose advective flux is
-    multiplied by an exactly-zero wall velocity).
+    q: (..., n_src) along ``axis``. Pads 3 zeros each side (out-of-range taps
+    are only read by rows whose ladder order excludes them, or rows whose
+    advective flux is multiplied by an exactly-zero wall velocity).
     """
-    n_src = q.shape[-1]
-    pad = [(0, 0)] * (q.ndim - 1) + [(3, 3)]
-    p = jnp.pad(q, pad)
+    p = _pad_zeros(q, axis, 3, 3)
 
     def tap(off):  # value q[m + off] for dst row j (m = j + split)
         start = 3 + split + off
-        return jax.lax.slice_in_dim(p, start, start + n_dst, axis=-1)
+        return jax.lax.slice_in_dim(p, start, start + n_dst, axis=axis)
 
     out = {}
     for name, stencil in (
@@ -230,32 +249,35 @@ def _z_order_masks(n_src: int, n_dst: int, split: int):
     return masks
 
 
-def _z_upwind(q: jax.Array, vel: jax.Array, n_dst: int, split: int) -> jax.Array:
+def _z_upwind(
+    q: jax.Array, vel: jax.Array, n_dst: int, split: int, axis: int = -1
+) -> jax.Array:
     """Fused upwind-biased z reconstruction with near-wall order reduction.
 
     Numerically identical to the matrix path (z_recon_matrices_*) but runs as
     one VPU pass instead of a HIGHEST-precision MXU matmul doing ~10x the
     arithmetic of the stencil.
     """
-    n_src = q.shape[-1]
+    n_src = q.shape[axis]
     masks = _z_order_masks(n_src, n_dst, split)
 
     def pick(biased):
-        c = _z_stencil_candidates(q, n_dst, split, biased)
+        c = _z_stencil_candidates(q, n_dst, split, biased, axis)
         m5, m3 = masks[biased]
+        m5, m3 = _mask_at(m5, axis), _mask_at(m3, axis)
         return jnp.where(m5, c["5"], jnp.where(m3, c["3"], c["1"]))
 
     return jnp.where(vel > 0, pick("left"), pick("right"))
 
 
-def recon_c2f_z_fused(q: jax.Array, vel_face: jax.Array) -> jax.Array:
-    """Centered field (..., nz) -> z-faces (..., nz+1), upwind by vel_face."""
-    return _z_upwind(q, vel_face, n_dst=q.shape[-1] + 1, split=0)
+def recon_c2f_z_fused(q: jax.Array, vel_face: jax.Array, axis: int = -1) -> jax.Array:
+    """Centered field (nz along ``axis``) -> z-faces (nz+1), upwind by vel_face."""
+    return _z_upwind(q, vel_face, n_dst=q.shape[axis] + 1, split=0, axis=axis)
 
 
-def recon_f2c_z_fused(q: jax.Array, vel_center: jax.Array) -> jax.Array:
-    """z-face field (..., nz+1) -> centers (..., nz), upwind by vel_center."""
-    return _z_upwind(q, vel_center, n_dst=q.shape[-1] - 1, split=1)
+def recon_f2c_z_fused(q: jax.Array, vel_center: jax.Array, axis: int = -1) -> jax.Array:
+    """z-face field (nz+1 along ``axis``) -> centers (nz), upwind by vel_center."""
+    return _z_upwind(q, vel_center, n_dst=q.shape[axis] - 1, split=1, axis=axis)
 
 
 def apply_z_matrix(mat: jax.Array, q: jax.Array) -> jax.Array:
@@ -310,31 +332,37 @@ def interp_c2f_x(q: jax.Array, axis: int = -2) -> jax.Array:
     return 0.5 * (jnp.roll(q, 1, axis=axis) + q)
 
 
-def ddz_f2c(q: jax.Array, dz: float) -> jax.Array:
-    """d/dz of a z-face field (..., nz+1) -> centers (..., nz)."""
-    return (q[..., 1:] - q[..., :-1]) / dz
+def _lo(q: jax.Array, axis: int) -> jax.Array:
+    return jax.lax.slice_in_dim(q, 0, q.shape[axis] - 1, axis=axis)
 
 
-def ddz_c2f_interior(q: jax.Array, dz: float) -> jax.Array:
+def _hi(q: jax.Array, axis: int) -> jax.Array:
+    return jax.lax.slice_in_dim(q, 1, q.shape[axis], axis=axis)
+
+
+def ddz_f2c(q: jax.Array, dz: float, axis: int = -1) -> jax.Array:
+    """d/dz of a z-face field (nz+1 along ``axis``) -> centers (nz)."""
+    return (_hi(q, axis) - _lo(q, axis)) / dz
+
+
+def ddz_c2f_interior(q: jax.Array, dz: float, axis: int = -1) -> jax.Array:
     """d/dz of a z-center field -> interior z-faces, wall rows zero.
 
-    (..., nz) -> (..., nz+1) with [..., 0] = [..., nz] = 0.
+    (nz along ``axis``) -> (nz+1) with the two wall rows = 0.
     """
-    interior = (q[..., 1:] - q[..., :-1]) / dz
-    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
-    return jnp.pad(interior, pad)
+    interior = (_hi(q, axis) - _lo(q, axis)) / dz
+    return _pad_zeros(interior, axis, 1, 1)
 
 
-def interp_f2c_z(q: jax.Array) -> jax.Array:
-    """z-face (..., nz+1) -> z-center (..., nz) linear interpolation."""
-    return 0.5 * (q[..., :-1] + q[..., 1:])
+def interp_f2c_z(q: jax.Array, axis: int = -1) -> jax.Array:
+    """z-face (nz+1 along ``axis``) -> z-center (nz) linear interpolation."""
+    return 0.5 * (_lo(q, axis) + _hi(q, axis))
 
 
-def interp_c2f_z_interior(q: jax.Array) -> jax.Array:
-    """z-center -> z-faces with zero on the wall faces (..., nz+1)."""
-    interior = 0.5 * (q[..., :-1] + q[..., 1:])
-    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
-    return jnp.pad(interior, pad)
+def interp_c2f_z_interior(q: jax.Array, axis: int = -1) -> jax.Array:
+    """z-center -> z-faces with zero on the wall faces (nz+1 along ``axis``)."""
+    interior = 0.5 * (_lo(q, axis) + _hi(q, axis))
+    return _pad_zeros(interior, axis, 1, 1)
 
 
 def d2x_periodic(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
@@ -347,23 +375,36 @@ def d2x_periodic(q: jax.Array, dx: float, axis: int = -2) -> jax.Array:
 
 
 def d2z_center_value_bc(
-    q: jax.Array, dz: float, bottom_value, top_value
+    q: jax.Array, dz: float, bottom_value, top_value, axis: int = -1
 ) -> jax.Array:
     """d2/dz2 of a z-centered field with Dirichlet wall values via ghost cells.
 
     ghost = 2*value - first interior cell (linear extrapolation through the
     wall value), matching Oceananigans' ValueBoundaryCondition halo fill.
-    ``bottom_value``/``top_value`` broadcast against q[..., 0].
+    ``bottom_value``/``top_value`` broadcast against q with the z axis removed
+    (scalars or per-column arrays).
     """
-    ghost_b = 2.0 * bottom_value - q[..., 0]
-    ghost_t = 2.0 * top_value - q[..., -1]
-    qm = jnp.concatenate([ghost_b[..., None], q[..., :-1]], axis=-1)
-    qp = jnp.concatenate([q[..., 1:], ghost_t[..., None]], axis=-1)
+    n = q.shape[axis]
+    q0 = jax.lax.slice_in_dim(q, 0, 1, axis=axis)
+    qn = jax.lax.slice_in_dim(q, n - 1, n, axis=axis)
+    ghost_b = 2.0 * _expand_at(bottom_value, axis) - q0
+    ghost_t = 2.0 * _expand_at(top_value, axis) - qn
+    qm = jnp.concatenate([ghost_b, _lo(q, axis)], axis=axis)
+    qp = jnp.concatenate([_hi(q, axis), ghost_t], axis=axis)
     return (qp - 2.0 * q + qm) / (dz * dz)
 
 
-def d2z_face_interior(q: jax.Array, dz: float) -> jax.Array:
+def d2z_face_interior(q: jax.Array, dz: float, axis: int = -1) -> jax.Array:
     """d2/dz2 of a z-face field at interior faces; wall rows zero."""
-    interior = (q[..., 2:] - 2.0 * q[..., 1:-1] + q[..., :-2]) / (dz * dz)
-    pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
-    return jnp.pad(interior, pad)
+    n = q.shape[axis]
+    qm = jax.lax.slice_in_dim(q, 0, n - 2, axis=axis)
+    qc = jax.lax.slice_in_dim(q, 1, n - 1, axis=axis)
+    qp = jax.lax.slice_in_dim(q, 2, n, axis=axis)
+    interior = (qp - 2.0 * qc + qm) / (dz * dz)
+    return _pad_zeros(interior, axis, 1, 1)
+
+
+def zero_z_walls(q: jax.Array, axis: int = -1) -> jax.Array:
+    """Set the two wall rows of a z-face field to exactly zero."""
+    interior = jax.lax.slice_in_dim(q, 1, q.shape[axis] - 1, axis=axis)
+    return _pad_zeros(interior, axis, 1, 1)

@@ -170,3 +170,58 @@ def test_convection_onset():
     ke_super = ke_after(5000.0)
     assert ke_sub < 1e-7, f"subcritical KE did not decay: {ke_sub}"
     assert ke_super > 1e-3, f"supercritical KE did not grow: {ke_super}"
+
+
+class TestFusedPallasParity:
+    """The Pallas fused paths must reproduce the XLA stencil path.
+
+    Runs the kernels in the Pallas interpreter (CPU) with a tiny env slab.
+    The tendency kernel is bit-exact; the whole-env-step kernel differs only
+    in the f32 summation order of the hydrostatic cumulative integral
+    (triangular matmul vs cumsum), so it gets a tight tolerance.
+    """
+
+    def _solvers(self, heater_duration):
+        grid = Grid2D(nx=96, nz=64, lx=2 * np.pi, lz=2.0)
+        params = SimParams2D(heater_duration=heater_duration)
+        s_ref = make_solver2d(grid, params, fused=False)
+        s_fus = make_solver2d(
+            grid, params, fused=True, fused_interpret=True, e_blk=8
+        )
+        return s_ref, s_fus
+
+    def test_substep_tendency_kernel_close(self):
+        # The kernel math is identical op-for-op; remaining diffs are XLA
+        # fusion-dependent f32 rounding (observed ~1e-7 under the 8-device
+        # test config, exactly 0 single-device).
+        s_ref, s_fus = self._solvers(heater_duration=1.5)
+        f = s_ref.init_random(jax.random.PRNGKey(3), (8,))
+        bot = jnp.broadcast_to(
+            jnp.linspace(1.9, 2.1, 96, dtype=jnp.float32), (8, 96)
+        )
+        f1 = jax.jit(s_ref.substep)(f, bot)
+        f2 = jax.jit(s_fus.substep)(f, bot)
+        for name in f._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(f1, name)),
+                np.asarray(getattr(f2, name)),
+                atol=1e-5,
+                err_msg=name,
+            )
+
+    def test_env_step_whole_kernel_close(self):
+        # 2 substeps keeps the interpreted kernel fast
+        s_ref, s_fus = self._solvers(heater_duration=0.06)
+        f = s_ref.init_random(jax.random.PRNGKey(5), (8,))
+        a = jax.random.uniform(
+            jax.random.PRNGKey(1), (8, 12), minval=-1.0, maxval=1.0
+        )
+        f1 = jax.jit(s_ref.env_step)(f, a)
+        f2 = jax.jit(s_fus.env_step)(f, a)
+        for name in f._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(f1, name)),
+                np.asarray(getattr(f2, name)),
+                atol=5e-6,
+                err_msg=name,
+            )
