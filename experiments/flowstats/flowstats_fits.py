@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Fit the flow-statistics curves (reference experiments/flowstats/
+flowstats_plots.ipynb parity, as a script instead of a notebook):
+
+  * Nu_max(Ra) = a * Ra^b         — the power law behind the reward
+    normalizer constants (wrappers/rbc_normalize_reward.py:13-25 in the
+    reference; our rbc_gym_tpu/wrappers/rbc_normalize_reward.py).
+  * w_max(Ra) = w_inf * Ra^n / (Ra^n + Ra_c^n)  — the Hill-type velocity
+    saturation behind the 3D observation normalizer
+    (reference wrappers/rbc_normalize_observation.py:77-81).
+
+Reads the pickle written by flowstats_ra.py, prints fitted constants as
+JSON, and (with --plot) renders the fits to PNG.
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+from scipy.optimize import curve_fit
+
+
+def power_law(ra, a, b):
+    return a * np.power(ra, b)
+
+
+def hill(ra, w_inf, ra_c, n):
+    rn = np.power(ra, n)
+    return w_inf * rn / (rn + np.power(ra_c, n))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pkl", default=os.path.join(
+        os.path.dirname(__file__), "flowstats_ra.pkl"))
+    p.add_argument("--tail", type=int, default=100,
+                   help="steps from the end used for the steady-state mean")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--out", default=None, help="JSON output path")
+    args = p.parse_args()
+
+    with open(args.pkl, "rb") as f:
+        records = pickle.load(f)
+    records = sorted(records, key=lambda r: r["ra"])
+
+    ras = np.array([r["ra"] for r in records], np.float64)
+    nu = np.array(
+        [np.mean(r["nusselt"][-args.tail:]) for r in records], np.float64
+    )
+    w_max = np.array([np.max(r["max_w"]) for r in records], np.float64)
+
+    # Nu(Ra) power law — fit in log space for scale-free residuals. The
+    # literature exponent for turbulent RBC is ~1/3 (reference
+    # flowstats_plots.ipynb cell 4 comment).
+    conv = nu > 1.05  # only convective points constrain the power law
+    (log_a, b), _ = curve_fit(
+        lambda lra, log_a, b: log_a + b * lra,
+        np.log(ras[conv]), np.log(nu[conv]),
+    )
+    a = float(np.exp(log_a))
+
+    (w_inf, ra_c, n), _ = curve_fit(
+        hill, ras, w_max, p0=(1.0, 700.0, 1.0), maxfev=20000
+    )
+
+    result = {
+        "nu_power_law": {"a": a, "b": float(b)},
+        "w_max_hill": {
+            "w_inf": float(w_inf), "ra_c": float(ra_c), "n": float(n)
+        },
+        "points": {
+            str(int(r)): {"nu": float(x), "max_w": float(w)}
+            for r, x, w in zip(ras, nu, w_max)
+        },
+    }
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        rr = np.geomspace(ras.min(), ras.max(), 200)
+        ax1.loglog(ras, nu, "o", label="measured")
+        ax1.loglog(rr, power_law(rr, a, b), "-",
+                   label=f"{a:.3g} Ra^{b:.3f}")
+        ax1.set_xlabel("Ra"), ax1.set_ylabel("Nu"), ax1.legend()
+        ax2.semilogx(ras, w_max, "o", label="measured")
+        ax2.semilogx(rr, hill(rr, w_inf, ra_c, n), "-",
+                     label=f"Hill: w_inf={w_inf:.3f}")
+        ax2.set_xlabel("Ra"), ax2.set_ylabel("max |w|"), ax2.legend()
+        out_png = args.pkl.replace(".pkl", "_fits.png")
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=120)
+        print(f"wrote {out_png}")
+
+
+if __name__ == "__main__":
+    main()
