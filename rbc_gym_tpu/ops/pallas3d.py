@@ -1,0 +1,519 @@
+"""Fused Pallas TPU kernels for the 3D RBC RK3 stage.
+
+Behavioral target: the reference 3D solver (Oceananigans ``:RungeKutta3`` +
+``UpwindBiasedFifthOrder``, free-fall time units, sim/rbc_sim3D.jl) —
+numerically equivalent to the XLA batch-minor path in
+``rbc_gym_tpu.sim.solver3d`` (same stencils and RK coefficients; different
+but exact float32 summation orders for the hydrostatic suffix sum).
+
+Design (and how it differs from the 2D kernel, ops/pallas2d.py):
+
+* Layout (nx, nz[+1], ny, E): x and z are UNTILED leading axes (stencil
+  taps are cheap slices and the w field's nz+1 rows cost no tile padding),
+  y sits in the sublanes, and the env axis fills the lanes.
+* Per-FIELD stage kernels (tendency + RK update), not a whole-step kernel:
+  the 128 MiB VMEM bounds env slabs to 64 lanes for this grid, Mosaic's
+  dense-matmul lowering requires full 128-lane operands (so the Poisson
+  solve cannot live in a 64-lane kernel), and a monolithic all-fields
+  stage body spills ~110 MB of vector registers. The Poisson solve runs
+  outside in XLA (ops/poisson.make_poisson_solver_3d_bm) as full-lane MXU
+  matmuls — it is ~7%% of stage time in the op profile; the stencil work
+  these kernels fuse is the other ~85%%.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rbc_gym_tpu.ops.stencils import (
+    _UB1_LEFT,
+    _UB1_RIGHT,
+    _UB3_LEFT,
+    _UB3_RIGHT,
+    _UB5_LEFT,
+    _UB5_RIGHT,
+)
+
+DEFAULT_E_BLK_3D = 128
+
+# RK3 coefficients (reference :RungeKutta3), duplicated from sim/solver2d.py
+# to avoid a circular import.
+_RK3_GAMMA = (8.0 / 15.0, 5.0 / 12.0, 3.0 / 4.0)
+_RK3_ZETA = (0.0, -17.0 / 60.0, -5.0 / 12.0)
+
+_HI = jax.lax.Precision.HIGHEST
+
+# kernel array axes: (x, z, y, env)
+_AX, _AZ, _AY = 0, 1, 2
+
+
+def _slice(q, axis, start, stop):
+    return jax.lax.slice_in_dim(q, start, stop, axis=axis)
+
+
+def _pad_periodic(q, axis, before, after):
+    n = q.shape[axis]
+    parts = []
+    if before:
+        parts.append(_slice(q, axis, n - before, n))
+    parts.append(q)
+    if after:
+        parts.append(_slice(q, axis, 0, after))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else q
+
+
+def _pad_zeros(q, axis, before, after):
+    shape = list(q.shape)
+    parts = []
+    if before:
+        shape[axis] = before
+        parts.append(jnp.zeros(tuple(shape), q.dtype))
+    parts.append(q)
+    if after:
+        shape[axis] = after
+        parts.append(jnp.zeros(tuple(shape), q.dtype))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else q
+
+
+def _upwind_periodic(q, vel, axis, m):
+    """UB5 upwind reconstruction along a periodic axis (x or y); matches
+    stencils._upwind_periodic.
+
+    VMEM note: each biased sum accumulates tap-by-tap and the two sides are
+    evaluated sequentially, so at most (pad + accumulator + one tap + one
+    side) slabs are live — Mosaic materializes every intermediate value, so
+    expression shape directly controls the kernel's VMEM peak.
+    """
+    n = q.shape[axis]
+    before, after = 3 - m, 2 + m
+    p = _pad_periodic(q, axis, before, after)
+
+    def tap(off):
+        o = before + m + off
+        return _slice(p, axis, o, o + n)
+
+    left = 2 * tap(-3)
+    left = left - 13 * tap(-2)
+    left = left + 47 * tap(-1)
+    left = left + 27 * tap(0)
+    left = (left - 3 * tap(1)) / 60
+    out = jnp.where(vel > 0, left, 0.0)
+    right = 2 * tap(2)
+    right = right - 13 * tap(1)
+    right = right + 47 * tap(0)
+    right = right + 27 * tap(-1)
+    right = (right - 3 * tap(-2)) / 60
+    return jnp.where(vel > 0, out, right)
+
+
+def _z_candidate(q, n_dst, split, stencil):
+    p = _pad_zeros(q, _AZ, 3, 3)
+
+    def tap(off):
+        s = 3 + split + off
+        return _slice(p, _AZ, s, s + n_dst)
+
+    acc = None
+    for off, c in stencil:
+        term = c * tap(off)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _stencil_fit_range(stencil, n_src: int) -> Tuple[int, int]:
+    """Inclusive range of m for which every tap m+off lies in [0, n_src)."""
+    offs = [off for off, _ in stencil]
+    return -min(offs), n_src - 1 - max(offs)
+
+
+def _z_row_mask(lo_m: int, hi_m: int, split: int, shape):
+    """Boolean mask over z rows j where the stencil (at m = j + split) fits.
+
+    Built from an in-kernel iota (Pallas forbids captured array constants)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=_AZ)
+    return (rows >= lo_m - split) & (rows <= hi_m - split)
+
+
+def _z_upwind(q, vel, n_dst, split):
+    """Upwind z reconstruction with UB5->UB3->UB1 wall order reduction;
+    matches stencils._z_upwind (same fits-in-range ladder rule).
+
+    Evaluated side-by-side sequentially and candidate-by-candidate (see
+    the VMEM note on _upwind_periodic)."""
+    n_src = q.shape[_AZ]
+    shape = (q.shape[0], n_dst) + q.shape[2:]
+
+    def pick(biased):
+        s5, s3, s1 = {
+            "left": (_UB5_LEFT, _UB3_LEFT, _UB1_LEFT),
+            "right": (_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT),
+        }[biased]
+        lo5, hi5 = _stencil_fit_range(s5, n_src)
+        lo3, hi3 = _stencil_fit_range(s3, n_src)
+        m5 = _z_row_mask(lo5, hi5, split, shape)
+        out = jnp.where(m5, _z_candidate(q, n_dst, split, s5), 0.0)
+        m3 = _z_row_mask(lo3, hi3, split, shape) & ~m5
+        out = jnp.where(m3, _z_candidate(q, n_dst, split, s3), out)
+        rest = ~(m5 | m3)
+        return jnp.where(rest, _z_candidate(q, n_dst, split, s1), out)
+
+    out = jnp.where(vel > 0, pick("left"), 0.0)
+    return jnp.where(vel > 0, out, pick("right"))
+
+
+def _make_grid_ops(dx: float, dy: float, dz: float):
+    """Staggered-grid helpers on (nx, nz[+1], ny, E) arrays."""
+
+    def ddh_c2f(q, axis, d):  # (q[i] - q[i-1]) / d, periodic
+        n = q.shape[axis]
+        p = _pad_periodic(q, axis, 1, 0)
+        return (_slice(p, axis, 1, n + 1) - _slice(p, axis, 0, n)) / d
+
+    def ddh_f2c(q, axis, d):  # (q[i+1] - q[i]) / d, periodic
+        n = q.shape[axis]
+        p = _pad_periodic(q, axis, 0, 1)
+        return (_slice(p, axis, 1, n + 1) - _slice(p, axis, 0, n)) / d
+
+    def interp_f2c(q, axis):
+        n = q.shape[axis]
+        p = _pad_periodic(q, axis, 0, 1)
+        return 0.5 * (_slice(p, axis, 0, n) + _slice(p, axis, 1, n + 1))
+
+    def interp_c2f(q, axis):
+        n = q.shape[axis]
+        p = _pad_periodic(q, axis, 1, 0)
+        return 0.5 * (_slice(p, axis, 0, n) + _slice(p, axis, 1, n + 1))
+
+    def d2h(q, axis, d):
+        n = q.shape[axis]
+        p = _pad_periodic(q, axis, 1, 1)
+        qm = _slice(p, axis, 0, n)
+        qp = _slice(p, axis, 2, n + 2)
+        return (qp - 2.0 * q + qm) / (d * d)
+
+    def ddz_f2c(q):
+        n = q.shape[_AZ]
+        return (_slice(q, _AZ, 1, n) - _slice(q, _AZ, 0, n - 1)) / dz
+
+    def ddz_c2f_interior(q):
+        n = q.shape[_AZ]
+        interior = (_slice(q, _AZ, 1, n) - _slice(q, _AZ, 0, n - 1)) / dz
+        return _pad_zeros(interior, _AZ, 1, 1)
+
+    def interp_f2c_z(q):
+        n = q.shape[_AZ]
+        return 0.5 * (_slice(q, _AZ, 0, n - 1) + _slice(q, _AZ, 1, n))
+
+    def interp_c2f_z_interior(q):
+        n = q.shape[_AZ]
+        interior = 0.5 * (_slice(q, _AZ, 0, n - 1) + _slice(q, _AZ, 1, n))
+        return _pad_zeros(interior, _AZ, 1, 1)
+
+    def d2z_value_bc(q, bottom_value, top_value):
+        n = q.shape[_AZ]
+        q0 = _slice(q, _AZ, 0, 1)
+        qn = _slice(q, _AZ, n - 1, n)
+        if not isinstance(bottom_value, float):
+            bottom_value = bottom_value[:, None]  # (nx, ny, E) -> (nx,1,ny,E)
+        ghost_b = 2.0 * bottom_value - q0
+        ghost_t = 2.0 * top_value - qn
+        qm = jnp.concatenate([ghost_b, _slice(q, _AZ, 0, n - 1)], axis=_AZ)
+        qp = jnp.concatenate([_slice(q, _AZ, 1, n), ghost_t], axis=_AZ)
+        return (qp - 2.0 * q + qm) / (dz * dz)
+
+    def d2z_face_interior(q):
+        n = q.shape[_AZ]
+        qm = _slice(q, _AZ, 0, n - 2)
+        qc = _slice(q, _AZ, 1, n - 1)
+        qp = _slice(q, _AZ, 2, n)
+        interior = (qp - 2.0 * qc + qm) / (dz * dz)
+        return _pad_zeros(interior, _AZ, 1, 1)
+
+    def zero_z_walls(q):
+        n = q.shape[_AZ]
+        return _pad_zeros(_slice(q, _AZ, 1, n - 1), _AZ, 1, 1)
+
+    return {
+        "ddx_c2f": lambda q: ddh_c2f(q, _AX, dx),
+        "ddx_f2c": lambda q: ddh_f2c(q, _AX, dx),
+        "ddy_c2f": lambda q: ddh_c2f(q, _AY, dy),
+        "ddy_f2c": lambda q: ddh_f2c(q, _AY, dy),
+        "interp_f2c_x": lambda q: interp_f2c(q, _AX),
+        "interp_c2f_x": lambda q: interp_c2f(q, _AX),
+        "interp_f2c_y": lambda q: interp_f2c(q, _AY),
+        "interp_c2f_y": lambda q: interp_c2f(q, _AY),
+        "d2x": lambda q: d2h(q, _AX, dx),
+        "d2y": lambda q: d2h(q, _AY, dy),
+        "ddz_f2c": ddz_f2c,
+        "ddz_c2f_interior": ddz_c2f_interior,
+        "interp_f2c_z": interp_f2c_z,
+        "interp_c2f_z_interior": interp_c2f_z_interior,
+        "d2z_value_bc": d2z_value_bc,
+        "d2z_face_interior": d2z_face_interior,
+        "zero_z_walls": zero_z_walls,
+    }
+
+
+def _hydro(b, nz, dz, min_b):
+    """p_hy[k] = -sum_{j>=k} inc[j]; suffix sum via doubling shifts
+    (solver2d._hydrostatic_pressure up to f32 summation order)."""
+    b_face = 0.5 * (_slice(b, _AZ, 0, nz - 1) + _slice(b, _AZ, 1, nz))
+    top = jnp.full_like(_slice(b, _AZ, 0, 1), 0.5 * dz * min_b)
+    acc = jnp.concatenate([dz * b_face, top], axis=_AZ)
+    s = 1
+    while s < nz:
+        shifted = _pad_zeros(_slice(acc, _AZ, s, nz), _AZ, 0, s)
+        acc = acc + shifted
+        s *= 2
+    return -acc
+
+
+
+def _tend_u(emit, u, v, w, p_hy, o, nu):
+    """u-momentum tendency at (fx, cy, cz); mirror of solver3d.tendencies_bm.
+
+    ``emit(term)`` accumulates into the output ref between terms: ref
+    writes are ordering barriers for Mosaic, which otherwise interleaves
+    the three directions' stencil chains and spills tens of MB of vector
+    registers (same for the other tendencies below).
+    """
+    nz = u.shape[_AZ]
+    u_cx = o["interp_f2c_x"](u)
+    emit(o["ddx_c2f"](u_cx * _upwind_periodic(u, u_cx, _AX, m=1)))
+    v_fxfy = o["interp_c2f_x"](v)
+    emit(o["ddy_f2c"](v_fxfy * _upwind_periodic(u, v_fxfy, _AY, m=0)))
+    w_fx = o["interp_c2f_x"](w)
+    emit(o["ddz_f2c"](w_fx * _z_upwind(u, w_fx, n_dst=nz + 1, split=0)))
+    def finish(neg_acc, emit):
+        emit(-o["ddx_c2f"](p_hy))
+        emit(nu * o["d2x"](u))
+        emit(nu * o["d2y"](u))
+        emit(nu * o["d2z_value_bc"](u, 0.0, 0.0))
+
+    return finish
+
+
+def _tend_v(emit, u, v, w, p_hy, o, nu):
+    """v-momentum tendency at (cx, fy, cz)."""
+    nz = v.shape[_AZ]
+    u_fxfy = o["interp_c2f_y"](u)
+    emit(o["ddx_f2c"](u_fxfy * _upwind_periodic(v, u_fxfy, _AX, m=0)))
+    v_cy = o["interp_f2c_y"](v)
+    emit(o["ddy_c2f"](v_cy * _upwind_periodic(v, v_cy, _AY, m=1)))
+    w_fy = o["interp_c2f_y"](w)
+    emit(o["ddz_f2c"](w_fy * _z_upwind(v, w_fy, n_dst=nz + 1, split=0)))
+    def finish(neg_acc, emit):
+        emit(-o["ddy_c2f"](p_hy))
+        emit(nu * o["d2x"](v))
+        emit(nu * o["d2y"](v))
+        emit(nu * o["d2z_value_bc"](v, 0.0, 0.0))
+
+    return finish
+
+
+def _tend_w(emit, u, v, w, o, nu):
+    """w-momentum tendency at (cx, cy, fz); buoyancy absorbed into pHY'."""
+    u_fz = o["interp_c2f_z_interior"](u)
+    emit(o["ddx_f2c"](u_fz * _upwind_periodic(w, u_fz, _AX, m=0)))
+    v_fz = o["interp_c2f_z_interior"](v)
+    emit(o["ddy_f2c"](v_fz * _upwind_periodic(w, v_fz, _AY, m=0)))
+    w_cz = o["interp_f2c_z"](w)
+    emit(o["ddz_c2f_interior"](
+        w_cz * _z_upwind(w, w_cz, n_dst=w.shape[_AZ] - 1, split=1)
+    ))
+    def finish(neg_acc, emit):
+        emit(nu * o["d2x"](w))
+        emit(nu * o["d2y"](w))
+        emit(nu * o["d2z_face_interior"](w))
+        emit(None, zero_walls=True)
+
+    return finish
+
+
+def _tend_b(emit, u, v, w, b, bottom, o, kappa, min_b):
+    """Buoyancy tracer tendency at centers."""
+    nz = b.shape[_AZ]
+    emit(o["ddx_f2c"](u * _upwind_periodic(b, u, _AX, m=0)))
+    emit(o["ddy_f2c"](v * _upwind_periodic(b, v, _AY, m=0)))
+    emit(o["ddz_f2c"](w * _z_upwind(b, w, n_dst=nz + 1, split=0)))
+    def finish(neg_acc, emit):
+        emit(kappa * o["d2x"](b))
+        emit(kappa * o["d2y"](b))
+        emit(kappa * o["d2z_value_bc"](b, bottom, min_b))
+
+    return finish
+
+
+def _field_stage_kernel(
+    refs,
+    *,
+    field: str,
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+):
+    """One field's UB5 tendency for one env slab.
+
+    The monolithic whole-stage kernel spills ~110 MB of vector registers to
+    VMEM under Mosaic's register allocator (the four tendency chains give
+    the scheduler too much simultaneously-live state), so the stage is
+    split per prognostic field, and each kernel computes ONLY the tendency
+    g_f — the RK update f' = f + dt (gamma g_f + zeta g_f_prev) is pure
+    elementwise and XLA fuses it into a single pass, so keeping it here
+    would cost two more 8 MB VMEM windows (f'-out and g_prev-in) for no
+    HBM saving. The hydrostatic pressure, Poisson solve, divergence, and
+    velocity correction also stay in XLA (solver3d): the dense modal
+    matmuls only lower on full 128-lane operands.
+
+    Inputs are tailored per field (u/v read p_hy, b reads the heater plate,
+    w reads neither), and every tendency term is accumulated into the
+    output ref as it is produced — ref writes are ordering barriers that
+    stop Mosaic from interleaving the direction chains (each barrier
+    removed costs ~2 MB of spill slots).
+    """
+    o = _make_grid_ops(dx, dy, dz)
+
+    def make_emit(g_r):
+        state = {"first": True}
+
+        def emit(term, zero_walls=False):
+            if zero_walls:
+                g_r[0] = o["zero_z_walls"](g_r[0])
+            elif state["first"]:
+                g_r[0] = term
+                state["first"] = False
+            else:
+                g_r[0] = g_r[0] + term
+
+        return emit
+
+    if field == "u":
+        (u_r, v_r, w_r, phy_r, g_r) = refs
+        u, v, w = u_r[0], v_r[0], w_r[0]
+        emit = make_emit(g_r)
+        finish = _tend_u(emit, u, v, w, phy_r[0], o, nu)
+    elif field == "v":
+        (u_r, v_r, w_r, phy_r, g_r) = refs
+        u, v, w = u_r[0], v_r[0], w_r[0]
+        emit = make_emit(g_r)
+        finish = _tend_v(emit, u, v, w, phy_r[0], o, nu)
+    elif field == "w":
+        (u_r, v_r, w_r, g_r) = refs
+        u, v, w = u_r[0], v_r[0], w_r[0]
+        emit = make_emit(g_r)
+        finish = _tend_w(emit, u, v, w, o, nu)
+    else:
+        (u_r, v_r, w_r, b_r, bot_r, g_r) = refs
+        u, v, w, b = u_r[0], v_r[0], w_r[0], b_r[0]
+        emit = make_emit(g_r)
+        finish = _tend_b(emit, u, v, w, b, bot_r[0], o, kappa, min_b)
+
+    g_r[0] = -g_r[0]        # the ref held +advection; tendency is -adv + ...
+    finish(None, emit)      # diffusion/forcing terms, emitted stepwise
+
+
+@functools.lru_cache(maxsize=None)
+def make_field_stage_3d(
+    field: str,
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    e_blk: int = DEFAULT_E_BLK_3D,
+    interpret: bool = False,
+    vmem_limit_mb: int = 127,
+):
+    """Build the fused tendency function for one prognostic field.
+
+    Returns ``tend(fields...) -> g_f`` over batch-minor (nx, nz[+1], ny, E)
+    arrays — signature per field:
+
+      u, v: tend(u, v, w, p_hy)
+      w:    tend(u, v, w)
+      b:    tend(u, v, w, b, bottom)
+
+    E must be a multiple of ``e_blk``; fields are passed slab-stacked as
+    (n_slabs, nx, nk, ny, e_blk) so the block's lane dim equals the array's
+    (Pallas requires lane blocks of 128 or whole-dim).
+    """
+    assert field in ("u", "v", "w", "b")
+    nk = nz + 1 if field == "w" else nz
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _field_stage_kernel(refs, **kw),
+        field=field, nx=nx, ny=ny, nz=nz, dx=dx, dy=dy, dz=dz,
+        nu=nu, kappa=kappa, min_b=min_b,
+    )
+
+    single = pl.Buffered(buffer_count=1)
+
+    def field_spec(n):
+        return pl.BlockSpec(
+            (1, nx, n, ny, e_blk), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+
+    uvw_specs = [field_spec(nz), field_spec(nz), field_spec(nz + 1)]
+    if field in ("u", "v"):
+        in_specs = uvw_specs + [field_spec(nz)]
+    elif field == "w":
+        in_specs = uvw_specs
+    else:
+        in_specs = uvw_specs + [
+            field_spec(nz),
+            pl.BlockSpec((1, nx, ny, e_blk), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM, pipeline_mode=single),
+        ]
+    out_specs = field_spec(nk)
+    compiler_params = pltpu.CompilerParams(
+        # 'arbitrary' stops Mosaic from software-pipelining across env
+        # slabs, which would extend register live ranges (the body already
+        # runs close to the spill-slot budget).
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+    )
+
+    def _stack(q):
+        parts = q.reshape(q.shape[:-1] + (-1, e_blk))
+        return jnp.moveaxis(parts, -2, 0)
+
+    def _unstack(q):
+        return jnp.moveaxis(q, 0, -2).reshape(q.shape[1:-1] + (-1,))
+
+    def tend(*arrays):
+        e = arrays[0].shape[-1]
+        if e % e_blk:
+            raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+        n_slabs = e // e_blk
+        dtype = arrays[0].dtype
+        out_shape = jax.ShapeDtypeStruct((n_slabs, nx, nk, ny, e_blk), dtype)
+        g = pl.pallas_call(
+            kernel,
+            grid=(n_slabs,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*[_stack(q) for q in arrays])
+        return _unstack(g)
+
+    return tend

@@ -145,6 +145,85 @@ def make_poisson_solver_2d_bm(
     return solve
 
 
+def _dct2_matrices(nz: int, dz: float):
+    """DCT-II eigenbasis of the Neumann vertical second difference.
+
+    The tridiagonal Neumann operator built in ``_vertical_inverses`` (ghost
+    cells p[-1]=p[0], p[nz]=p[nz-1]) is exactly diagonalized by the DCT-II
+    vectors v_k[j] = cos(pi k (j+1/2)/nz) with eigenvalues
+    lam_k = -(2 - 2 cos(pi k / nz)) / dz^2. Returns (analysis C (nz, nz),
+    synthesis S (nz, nz) with S @ C = I, eigenvalues (nz,)).
+
+    This turns the per-horizontal-mode vertical *solve* into an elementwise
+    reciprocal in (kx, ky, kz) space — the TPU-friendly form: transforms are
+    dense MXU matmuls, the inverse is a VPU multiply, and the singular mean
+    mode is handled by zeroing its coefficient (identical to the pinv's
+    zero-mean solution, since the basis is orthogonal).
+    """
+    j = np.arange(nz)
+    k = np.arange(nz)
+    c = np.cos(np.pi * np.outer(k, j + 0.5) / nz)  # (k, j)
+    scale = np.full(nz, 2.0 / nz)
+    scale[0] = 1.0 / nz
+    s = (c * scale[:, None]).T  # (j, k)
+    assert np.allclose(s @ c, np.eye(nz), atol=1e-10)
+    lam = -(2.0 - 2.0 * np.cos(np.pi * k / nz)) / (dz * dz)
+    return c, s, lam
+
+
+def make_poisson_solver_3d_bm(
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    dtype=jnp.float32,
+):
+    """Batch-minor 3D solver: RHS (nx, nz, ny, E) -> pressure, zero-mean mode.
+
+    Fully spectral (real DFT in x and y, DCT-II in z): the x-DFT and z-DCT
+    combine into ONE dense (nx*nz, nx*nz) analysis matrix applied over the
+    merged leading axes — a single full-utilization MXU matmul — the y-DFT
+    is a batched contraction of the sublane axis, and the modal solve is an
+    elementwise multiply. Same math as ``make_poisson_solver_3d`` (the
+    solution of the singular Neumann system with zero-mean mean-mode) in a
+    layout where the env axis stays in the TPU lanes throughout.
+    """
+    fx, gx, rows_x = _real_dft_matrices(nx)
+    lx = _dft_eigenvalues(nx, dx)[rows_x]  # (nx,) per DFT row
+    fy, gy, rows_y = _real_dft_matrices(ny)
+    ly = _dft_eigenvalues(ny, dy)[rows_y]  # (ny,)
+    cz, sz, lz = _dct2_matrices(nz, dz)
+
+    # row (kx kz) x col (x z), x-major merge == reshape(nx, nz) order
+    t_a = np.kron(fx, cz)  # (nx*nz, nx*nz)
+    t_s = np.kron(gx, sz)
+
+    lam = lx[:, None, None] + lz[None, :, None] + ly[None, None, :]
+    with np.errstate(divide="ignore"):
+        dinv = np.where(np.abs(lam) < 1e-12, 0.0, 1.0 / lam)
+    dinv = dinv.reshape(nx * nz, ny)
+
+    t_a = jnp.asarray(t_a, dtype)
+    t_s = jnp.asarray(t_s, dtype)
+    fy_ = jnp.asarray(fy, dtype)
+    gy_ = jnp.asarray(gy, dtype)
+    dinv = jnp.asarray(dinv, dtype)
+
+    def solve(rhs: jax.Array) -> jax.Array:
+        e = rhs.shape[-1]
+        q = rhs.reshape(nx * nz, ny, e)
+        rhat = jnp.einsum("KM,Mye->Kye", t_a, q, precision=_HIGHEST)
+        rhat = jnp.einsum("ly,Kye->Kle", fy_, rhat, precision=_HIGHEST)
+        phat = rhat * dinv[:, :, None]
+        p = jnp.einsum("yl,Kle->Kye", gy_, phat, precision=_HIGHEST)
+        p = jnp.einsum("MK,Kye->Mye", t_s, p, precision=_HIGHEST)
+        return p.reshape(nx, nz, ny, e)
+
+    return solve
+
+
 def make_poisson_solver_3d(
     nx: int,
     ny: int,

@@ -9,11 +9,21 @@ heater_duration * t_ff. When heater_duration is not an integer multiple of
 dt_solver the final substep is clipped to land exactly on the step boundary —
 the same alignment Oceananigans' Simulation performs against stop_time.
 
-Array layout: (..., nx, ny, nz[+1]) with arbitrary leading env batch axes.
+Public array layout: (batch..., nx, ny, nz[+1]).
   u at (x-face, y-center, z-center)   (..., nx, ny, nz)
   v at (x-center, y-face, z-center)   (..., nx, ny, nz)
   w at (x-center, y-center, z-face)   (..., nx, ny, nz+1)
   b at centers                        (..., nx, ny, nz)
+
+TPU-first internals: the substep loop runs BATCH-MINOR, (nx, nz[+1], ny, E)
+with the env axis minor-most — the env axis fills the 128 TPU lanes exactly
+(the public layout puts nz=16 in the lanes: 12.5% utilization), y sits in
+the sublanes, and x/z stencils are cheap untiled-axis slices. The pressure
+projection is the fully spectral DCT/DFT solver (ops/poisson.py
+make_poisson_solver_3d_bm): dense MXU matmuls + one elementwise modal
+reciprocal. On TPU, per-field Pallas tendency kernels (ops/pallas3d.py)
+fuse the stencil work — ~85% of stage time — into single VMEM-resident
+passes (see docs/PERF_NOTES_3D.md for the design constraints).
 """
 
 from __future__ import annotations
@@ -26,12 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rbc_gym_tpu.ops import stencils as st
-from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d
+from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d_bm
 from rbc_gym_tpu.sim.actuation import heater_profile_3d, preprocess_action_3d
 from rbc_gym_tpu.sim.grid import Grid3D
-from rbc_gym_tpu.sim.solver2d import RK3_GAMMA, RK3_ZETA
+from rbc_gym_tpu.sim.solver2d import RK3_GAMMA, RK3_ZETA, _hydrostatic_pressure
 
-X, Y = -3, -2  # axis indices for (..., nx, ny, nz) arrays
+DEFAULT_E_BLK_3D = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,15 +102,25 @@ class Solver3D(NamedTuple):
 
 
 def _hydrostatic_pressure_3d(b: jax.Array, dz: float, min_b: float) -> jax.Array:
-    b_face = 0.5 * (b[..., :-1] + b[..., 1:])
-    increments = jnp.concatenate(
-        [dz * b_face, jnp.full_like(b[..., :1], 0.5 * dz * min_b)], axis=-1
-    )
-    rev = jnp.flip(increments, axis=-1)
-    return -jnp.flip(jnp.cumsum(rev, axis=-1), axis=-1)
+    """Batch-major variant (z minor); the bm path uses the axis-generic
+    solver2d._hydrostatic_pressure."""
+    return _hydrostatic_pressure(b, dz, min_b, axis=-1)
 
 
-def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solver3D:
+def make_solver3d(
+    grid: Grid3D,
+    params: SimParams3D,
+    dtype=jnp.float32,
+    fused: bool | None = None,
+    fused_interpret: bool = False,
+    e_blk: int = DEFAULT_E_BLK_3D,
+) -> Solver3D:
+    """Build the 3D solver bundle.
+
+    ``fused`` selects the per-field Pallas tendency kernels (default:
+    auto — on for float32 on TPU when the env batch divides ``e_blk``; the
+    XLA batch-minor stencil path otherwise).
+    """
     if abs(grid.lz - params.lz) > 1e-12:
         params = dataclasses.replace(params, lz=grid.lz)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -109,15 +129,24 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    poisson = make_poisson_solver_3d(nx, ny, nz, dx, dy, dz, dtype)
+    poisson_bm = make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz, dtype)
     x_centers = grid.x_centers()
     y_centers = grid.y_centers()
     dts = params.substep_dts()
 
+    # Batch-minor axes of (nx, nz[+1], ny, E) arrays.
+    X, Z, Y = -4, -3, -2
+
     def lap_periodic(q):
         return st.d2x_periodic(q, dx, X) + st.d2x_periodic(q, dy, Y)
 
-    def tendencies(f: Fields3D, bottom_b: jax.Array):
+    def tendencies_bm(f: Fields3D, bottom_b: jax.Array):
+        """UB5 flux-form tendencies on batch-minor fields.
+
+        ``bottom_b`` is (nx, ny, E). Staggering matches the reference's
+        C-grid exactly (see module docstring); the buoyancy force is
+        absorbed into the hydrostatic anomaly pressure p_hy.
+        """
         u, v, w, b = f.u, f.v, f.w, f.b
 
         # ---- u at (fx, cy, cz) --------------------------------------------
@@ -130,13 +159,13 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = adv + st.ddx_f2c(flux, dy, Y)
 
         w_fx = st.interp_c2f_x(w, X)  # (fx, cy, fz); wall faces stay 0
-        flux = w_fx * st.recon_c2f_z_fused(u, w_fx)
-        adv = adv + st.ddz_f2c(flux, dz)
+        flux = w_fx * st.recon_c2f_z_fused(u, w_fx, Z)
+        adv = adv + st.ddz_f2c(flux, dz, Z)
 
         gu = (
             -adv
             - st.ddx_c2f(f.p_hy, dx, X)
-            + nu_ * (lap_periodic(u) + st.d2z_center_value_bc(u, dz, 0.0, 0.0))
+            + nu_ * (lap_periodic(u) + st.d2z_center_value_bc(u, dz, 0.0, 0.0, Z))
         )
 
         # ---- v at (cx, fy, cz) --------------------------------------------
@@ -149,60 +178,64 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
         adv = adv + st.ddx_c2f(flux, dy, Y)
 
         w_fy = st.interp_c2f_x(w, Y)  # (cx, fy, fz)
-        flux = w_fy * st.recon_c2f_z_fused(v, w_fy)
-        adv = adv + st.ddz_f2c(flux, dz)
+        flux = w_fy * st.recon_c2f_z_fused(v, w_fy, Z)
+        adv = adv + st.ddz_f2c(flux, dz, Z)
 
         gv = (
             -adv
             - st.ddx_c2f(f.p_hy, dy, Y)
-            + nu_ * (lap_periodic(v) + st.d2z_center_value_bc(v, dz, 0.0, 0.0))
+            + nu_ * (lap_periodic(v) + st.d2z_center_value_bc(v, dz, 0.0, 0.0, Z))
         )
 
         # ---- w at (cx, cy, fz); buoyancy absorbed into pHY' ---------------
-        u_fz = st.interp_c2f_z_interior(u)  # (fx, cy, fz), walls 0
+        u_fz = st.interp_c2f_z_interior(u, Z)  # (fx, cy, fz), walls 0
         flux = u_fz * st.recon_c2f_periodic(w, u_fz, X)
         adv = st.ddx_f2c(flux, dx, X)
 
-        v_fz = st.interp_c2f_z_interior(v)  # (cx, fy, fz)
+        v_fz = st.interp_c2f_z_interior(v, Z)  # (cx, fy, fz)
         flux = v_fz * st.recon_c2f_periodic(w, v_fz, Y)
         adv = adv + st.ddx_f2c(flux, dy, Y)
 
-        w_cz = st.interp_f2c_z(w)
-        flux = w_cz * st.recon_f2c_z_fused(w, w_cz)
-        adv = adv + st.ddz_c2f_interior(flux, dz)
+        w_cz = st.interp_f2c_z(w, Z)
+        flux = w_cz * st.recon_f2c_z_fused(w, w_cz, Z)
+        adv = adv + st.ddz_c2f_interior(flux, dz, Z)
 
-        gw = -adv + nu_ * (lap_periodic(w) + st.d2z_face_interior(w, dz))
-        gw = gw.at[..., 0].set(0.0).at[..., -1].set(0.0)
+        gw = -adv + nu_ * (lap_periodic(w) + st.d2z_face_interior(w, dz, Z))
+        gw = st.zero_z_walls(gw, Z)
 
         # ---- buoyancy tracer ----------------------------------------------
         flux = u * st.recon_c2f_periodic(b, u, X)
         adv = st.ddx_f2c(flux, dx, X)
         flux = v * st.recon_c2f_periodic(b, v, Y)
         adv = adv + st.ddx_f2c(flux, dy, Y)
-        flux = w * st.recon_c2f_z_fused(b, w)
-        adv = adv + st.ddz_f2c(flux, dz)
+        flux = w * st.recon_c2f_z_fused(b, w, Z)
+        adv = adv + st.ddz_f2c(flux, dz, Z)
 
         gb = -adv + kappa * (
-            lap_periodic(b) + st.d2z_center_value_bc(b, dz, bottom_b, min_b)
+            lap_periodic(b) + st.d2z_center_value_bc(b, dz, bottom_b, min_b, Z)
         )
         return gu, gv, gw, gb
 
-    def project(u, v, w, dt_stage):
-        div = st.ddx_f2c(u, dx, X) + st.ddx_f2c(v, dy, Y) + st.ddz_f2c(w, dz)
-        p = poisson(div / dt_stage)
+    def project_bm(u, v, w, dt_stage):
+        div = (
+            st.ddx_f2c(u, dx, X)
+            + st.ddx_f2c(v, dy, Y)
+            + st.ddz_f2c(w, dz, Z)
+        )
+        p = poisson_bm(div / dt_stage)
         u = u - dt_stage * st.ddx_c2f(p, dx, X)
         v = v - dt_stage * st.ddx_c2f(p, dy, Y)
-        w = w - dt_stage * st.ddz_c2f_interior(p, dz)
+        w = w - dt_stage * st.ddz_c2f_interior(p, dz, Z)
         return u, v, w, p
 
-    def substep(f: Fields3D, bottom_b: jax.Array, dt: jax.Array) -> Fields3D:
+    def substep_bm(f: Fields3D, bottom_b: jax.Array, dt: jax.Array) -> Fields3D:
         u, v, w, b = f.u, f.v, f.w, f.b
         p_nhs = f.p_nhs
         g_prev = None
         for m in range(3):
             gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
-            p_hy = _hydrostatic_pressure_3d(b, dz, min_b)
-            g = tendencies(Fields3D(u, v, w, b, p_hy, p_nhs), bottom_b)
+            p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
+            g = tendencies_bm(Fields3D(u, v, w, b, p_hy, p_nhs), bottom_b)
             if m == 0:
                 u = u + dt * gamma * g[0]
                 v = v + dt * gamma * g[1]
@@ -214,8 +247,84 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
                 w = w + dt * (gamma * g[2] + zeta * g_prev[2])
                 b = b + dt * (gamma * g[3] + zeta * g_prev[3])
             g_prev = g
-            u, v, w, p_nhs = project(u, v, w, (gamma + zeta) * dt)
-        p_hy = _hydrostatic_pressure_3d(b, dz, min_b)
+            u, v, w, p_nhs = project_bm(u, v, w, (gamma + zeta) * dt)
+        p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
+        return Fields3D(u, v, w, b, p_hy, p_nhs)
+
+    # ---- batch-major <-> batch-minor shims --------------------------------
+
+    def _to_bm(q: jax.Array, batch_shape) -> jax.Array:
+        """(batch..., nx, ny, nk) -> (nx, nk, ny, E)."""
+        nb = len(batch_shape)
+        q = q.reshape((-1,) + q.shape[nb:])  # (E, nx, ny, nk)
+        return jnp.transpose(q, (1, 3, 2, 0))
+
+    def _from_bm(q: jax.Array, batch_shape) -> jax.Array:
+        q = jnp.transpose(q, (3, 0, 2, 1))  # (E, nx, ny, nk)
+        return q.reshape(batch_shape + q.shape[1:])
+
+    def _bottom_bm(bottom: jax.Array, batch_shape) -> jax.Array:
+        """(batch..., nx, ny) (broadcastable) -> (nx, ny, E)."""
+        b2 = jnp.broadcast_to(bottom, batch_shape + (nx, ny))
+        return jnp.moveaxis(b2.reshape((-1, nx, ny)), 0, -1)
+
+    if fused is None:
+        fused = dtype == jnp.float32 and (
+            jax.default_backend() not in ("cpu",) or fused_interpret
+        )
+
+    _fused_tend = None
+    if fused:
+        from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d
+
+        _fused_tend = {
+            name: make_field_stage_3d(
+                name, nx, ny, nz, dx, dy, dz,
+                params.nu, params.kappa, min_b,
+                e_blk=e_blk, interpret=fused_interpret,
+            )
+            for name in ("u", "v", "w", "b")
+        }
+
+    def substep_bm_fused(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
+        """Per-field Pallas tendency kernels; the RK update (pure
+        elementwise — XLA fuses it to one pass), hydrostatic pressure,
+        spectral Poisson solve, divergence, and velocity correction stay in
+        XLA (see ops/pallas3d.py for why the stage is split this way)."""
+        u, v, w, b = f.u, f.v, f.w, f.b
+        p_nhs = f.p_nhs
+        g_prev = None
+        for m in range(3):
+            gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
+            p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
+            g = (
+                _fused_tend["u"](u, v, w, p_hy),
+                _fused_tend["v"](u, v, w, p_hy),
+                _fused_tend["w"](u, v, w),
+                _fused_tend["b"](u, v, w, b, bottom_b),
+            )
+            if m == 0:
+                u = u + dt * gamma * g[0]
+                v = v + dt * gamma * g[1]
+                w = w + dt * gamma * g[2]
+                b = b + dt * gamma * g[3]
+            else:
+                u = u + dt * (gamma * g[0] + zeta * g_prev[0])
+                v = v + dt * (gamma * g[1] + zeta * g_prev[1])
+                w = w + dt * (gamma * g[2] + zeta * g_prev[2])
+                b = b + dt * (gamma * g[3] + zeta * g_prev[3])
+            g_prev = g
+            dt_stage = (gamma + zeta) * dt
+            div = (
+                st.ddx_f2c(u, dx, X)
+                + st.ddx_f2c(v, dy, Y)
+                + st.ddz_f2c(w, dz, Z)
+            )
+            p_nhs = poisson_bm(div / dt_stage)
+            u = u - dt_stage * st.ddx_c2f(p_nhs, dx, X)
+            v = v - dt_stage * st.ddx_c2f(p_nhs, dy, Y)
+            w = w - dt_stage * st.ddz_c2f_interior(p_nhs, dz, Z)
+        p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
         return Fields3D(u, v, w, b, p_hy, p_nhs)
 
     def env_step(f: Fields3D, action: jax.Array) -> Fields3D:
@@ -226,17 +335,31 @@ def make_solver3d(grid: Grid3D, params: SimParams3D, dtype=jnp.float32) -> Solve
             params.min_b,
             params.delta_b,
         )
-        bottom_b = heater_profile_3d(
+        bottom = heater_profile_3d(
             tiles, x_centers, y_centers, grid.lx, grid.ly, params.n_heaters
         ).astype(dtype)
 
+        batch = f.u.shape[:-3]
+        fbm = Fields3D(*(_to_bm(q, batch) for q in f))
+        bottom_bm = _bottom_bm(bottom, batch)
+
         dts_arr = jnp.asarray(dts, dtype)
+        if _fused_tend is not None and fbm.u.shape[-1] % e_blk == 0:
+            def body(carry, dt):
+                return substep_bm_fused(carry, bottom_bm, dt), None
+        else:
+            def body(carry, dt):
+                return substep_bm(carry, bottom_bm, dt), None
 
-        def body(carry, dt):
-            return substep(carry, bottom_b, dt), None
+        fbm, _ = jax.lax.scan(body, fbm, dts_arr)
+        return Fields3D(*(_from_bm(q, batch) for q in fbm))
 
-        f, _ = jax.lax.scan(body, f, dts_arr)
-        return f
+    def substep(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
+        """Batch-major single solver substep (testing / inspection API)."""
+        batch = f.u.shape[:-3]
+        fbm = Fields3D(*(_to_bm(q, batch) for q in f))
+        out = substep_bm(fbm, _bottom_bm(bottom_b, batch), jnp.asarray(dt, dtype))
+        return Fields3D(*(_from_bm(q, batch) for q in out))
 
     def init_random(key: jax.Array, batch_shape: Tuple[int, ...] = ()) -> Fields3D:
         """Reference sim/rbc_sim3D.jl:169-178: conductive profile + kick."""

@@ -1,0 +1,69 @@
+"""Fused 3D Pallas kernel vs the XLA batch-minor path (interpret mode, CPU).
+
+The kernel shares the stencil and RK3 structure with solver3d's XLA path;
+the Poisson solve and hydrostatic suffix sum use different (but exact)
+float32 summation orders, so parity over a full env step is tolerance-based.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbc_gym_tpu.sim.grid import Grid3D
+from rbc_gym_tpu.sim.solver3d import SimParams3D, make_solver3d
+
+GRID = Grid3D(nx=32, ny=32, nz=16, lx=4 * np.pi, ly=4 * np.pi, lz=2.0)
+
+
+@pytest.fixture(scope="module")
+def solvers():
+    params = SimParams3D()
+    sx = make_solver3d(GRID, params, dtype=jnp.float32, fused=False)
+    sf = make_solver3d(
+        GRID, params, dtype=jnp.float32, fused=True,
+        fused_interpret=True, e_blk=2,
+    )
+    return sx, sf
+
+
+def test_fused_env_step_matches_xla(solvers):
+    sx, sf = solvers
+    f = sx.init_random(jax.random.PRNGKey(0), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    fx = jax.jit(sx.env_step)(f, a)
+    ff = jax.jit(sf.env_step)(f, a)
+    for name in ("u", "v", "w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ff, name)),
+            np.asarray(getattr(fx, name)),
+            atol=5e-6,
+            err_msg=f"field {name}",
+        )
+
+
+def test_fused_falls_back_on_odd_batch(solvers):
+    _, sf = solvers
+    f = sf.init_random(jax.random.PRNGKey(1), batch_shape=(3,))  # 3 % 2 != 0
+    a = jnp.zeros((3, 8, 8), jnp.float32)
+    out = jax.jit(sf.env_step)(f, a)  # must trace the XLA fallback
+    assert np.isfinite(np.asarray(out.b)).all()
+
+
+def test_fused_divergence_free(solvers):
+    from rbc_gym_tpu.ops import stencils as st
+
+    _, sf = solvers
+    f = sf.init_random(jax.random.PRNGKey(2), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    out = jax.jit(sf.env_step)(f, a)
+    div = np.asarray(
+        st.ddx_f2c(out.u, GRID.dx, axis=-3)
+        + st.ddx_f2c(out.v, GRID.dy, axis=-2)
+        + st.ddz_f2c(out.w, GRID.dz)
+    )
+    assert np.max(np.abs(div)) < 5e-4  # float32 projection residual
