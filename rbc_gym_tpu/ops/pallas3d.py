@@ -425,6 +425,327 @@ def _field_stage_kernel(
     finish(None, emit)      # diffusion/forcing terms, emitted stepwise
 
 
+# ---------------------------------------------------------------------------
+# Whole-stage x-blocked kernel
+#
+# All four tendencies in ONE kernel per (env-slab, x-block) grid step. The
+# monolithic full-x stage kernel spills ~110 MB of vector registers; blocking
+# x bounds the simultaneously-live stencil state to a (x_blk + 6)-wide slab
+# (UB5 total radius is exactly 3) while keeping full 128 lanes. Each field is
+# passed THREE times with shifted index_maps (prev/center/next x-block,
+# periodic modulo) so the kernel sees an x-halo without any unsupported
+# gather; the halo views are concatenated in-VMEM to a (x_blk+6, nk, ny, E)
+# extended slab and all x-stencils run in VALID mode on it. See
+# docs/PERF_NOTES_3D.md.
+#
+# Valid-mode x ops track (array, lo) where ``lo`` is the extended-frame
+# coordinate of element 0; the center output block occupies [3, 3 + x_blk).
+# ---------------------------------------------------------------------------
+
+
+def _xa_align(p, q):
+    """Crop two (array, lo) pairs to their common x range."""
+    (a, la), (b, lb) = p, q
+    lo = max(la, lb)
+    hi = min(la + a.shape[0], lb + b.shape[0])
+    return _slice(a, _AX, lo - la, hi - la), _slice(b, _AX, lo - lb, hi - lb), lo
+
+
+def _xa_mul(p, q):
+    a, b, lo = _xa_align(p, q)
+    return a * b, lo
+
+
+def _xv_dd_c2f(p, d):  # out[i] = (q[i] - q[i-1]) / d
+    a, lo = p
+    return (_slice(a, _AX, 1, a.shape[0]) - _slice(a, _AX, 0, a.shape[0] - 1)) / d, lo + 1
+
+
+def _xv_dd_f2c(p, d):  # out[i] = (q[i+1] - q[i]) / d
+    a, lo = p
+    return (_slice(a, _AX, 1, a.shape[0]) - _slice(a, _AX, 0, a.shape[0] - 1)) / d, lo
+
+
+def _xv_interp_f2c(p):  # out[i] = (q[i] + q[i+1]) / 2
+    a, lo = p
+    return 0.5 * (_slice(a, _AX, 0, a.shape[0] - 1) + _slice(a, _AX, 1, a.shape[0])), lo
+
+
+def _xv_interp_c2f(p):  # out[i] = (q[i-1] + q[i]) / 2
+    a, lo = p
+    return 0.5 * (_slice(a, _AX, 0, a.shape[0] - 1) + _slice(a, _AX, 1, a.shape[0])), lo + 1
+
+
+def _xv_d2(p, d):
+    a, lo = p
+    n = a.shape[0]
+    return (
+        (_slice(a, _AX, 2, n) - 2.0 * _slice(a, _AX, 1, n - 1) + _slice(a, _AX, 0, n - 2))
+        / (d * d),
+        lo + 1,
+    )
+
+
+def _xv_upwind(p, vel, m):
+    """UB5 upwind x reconstruction in valid mode (periodic handled by the
+    caller's halo views). Taps span [m-3, m+2]; output range shrinks by 5.
+
+    Tap-by-tap accumulation and sequential sides, as in _upwind_periodic
+    (expression shape controls Mosaic register pressure)."""
+    a, lo = p
+    n_out = a.shape[0] - 5
+    out_lo = lo + 3 - m
+
+    def tap(off):
+        s = 3 + off
+        return _slice(a, _AX, s, s + n_out)
+
+    va, lv = vel
+    v = _slice(va, _AX, out_lo - lv, out_lo - lv + n_out)
+
+    left = 2 * tap(-3)
+    left = left - 13 * tap(-2)
+    left = left + 47 * tap(-1)
+    left = left + 27 * tap(0)
+    left = (left - 3 * tap(1)) / 60
+    out = jnp.where(v > 0, left, 0.0)
+    right = 2 * tap(2)
+    right = right - 13 * tap(1)
+    right = right + 47 * tap(0)
+    right = right + 27 * tap(-1)
+    right = (right - 3 * tap(-2)) / 60
+    return jnp.where(v > 0, out, right), out_lo
+
+
+def _whole_stage_kernel(
+    refs,
+    *,
+    x_blk: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+):
+    """All four UB5 tendencies for one (env-slab, x-block) grid step.
+
+    refs: u_p,u_c,u_n, v_p,v_c,v_n, w_p,w_c,w_n, b_p,b_c,b_n,
+          phy_p,phy_c,phy_n, bot_c, gu, gv, gw, gb.
+    Each output is finished field-by-field with per-term ref-write barriers
+    (the same spill-control discipline as the per-field kernels)."""
+    o = _make_grid_ops(dx, dy, dz)
+    (u_p, u_c, u_n, v_p, v_c, v_n, w_p, w_c, w_n,
+     b_p, b_c, b_n, phy_p, phy_c, phy_n, bot_c,
+     gu_r, gv_r, gw_r, gb_r) = refs
+
+    def ext(p_r, c_r, n_r):
+        """(x_blk+6, nk, ny, E) extended slab; element 0 at ext coord 0."""
+        return (
+            jnp.concatenate(
+                [
+                    _slice(p_r[0], _AX, x_blk - 3, x_blk),
+                    c_r[0],
+                    _slice(n_r[0], _AX, 0, 3),
+                ],
+                axis=_AX,
+            ),
+            0,
+        )
+
+    def center(p):
+        a, lo = p
+        s = 3 - lo
+        return _slice(a, _AX, s, s + x_blk)
+
+    def lift(f):  # y/z op on an (array, lo) pair: x extent preserved
+        return lambda p, *args: (f(p[0], *args), p[1])
+
+    def make_emit(g_r):
+        state = {"first": True}
+
+        def emit(p, zero_walls=False):
+            if zero_walls:
+                g_r[0] = o["zero_z_walls"](g_r[0])
+                return
+            term = center(p) if isinstance(p, tuple) else p
+            if state["first"]:
+                g_r[0] = term
+                state["first"] = False
+            else:
+                g_r[0] = g_r[0] + term
+
+        return emit
+
+    U = ext(u_p, u_c, u_n)
+    V = ext(v_p, v_c, v_n)
+    W = ext(w_p, w_c, w_n)
+    B = ext(b_p, b_c, b_n)
+    PHY = ext(phy_p, phy_c, phy_n)
+
+    def y_upwind(q, vel, m):
+        a, b_, lo = _xa_align(q, vel)
+        return _upwind_periodic(a, b_, _AY, m), lo
+
+    def z_up(q, vel, n_dst, split):
+        a, b_, lo = _xa_align(q, vel)
+        return _z_upwind(a, b_, n_dst, split), lo
+
+    # ---- u at (fx, cy, cz) -------------------------------------------------
+    emit = make_emit(gu_r)
+    u_cx = _xv_interp_f2c(U)
+    emit(_xv_dd_c2f(_xa_mul(u_cx, _xv_upwind(U, u_cx, m=1)), dx))
+    v_fxfy = _xv_interp_c2f(V)
+    emit(lift(o["ddy_f2c"])(_xa_mul(v_fxfy, y_upwind(U, v_fxfy, m=0))))
+    w_fx = _xv_interp_c2f(W)
+    emit(lift(o["ddz_f2c"])(_xa_mul(w_fx, z_up(U, w_fx, n_dst=nz + 1, split=0))))
+    gu_r[0] = -gu_r[0]
+    emit(-center(_xv_dd_c2f(PHY, dx)))
+    Uc = (center(U), 3)  # x-center-cropped view for pure y/z terms
+    emit(nu * center(_xv_d2(U, dx)))
+    emit(nu * o["d2y"](Uc[0]))
+    emit(nu * o["d2z_value_bc"](Uc[0], 0.0, 0.0))
+
+    # ---- v at (cx, fy, cz) -------------------------------------------------
+    emit = make_emit(gv_r)
+    u_fxfy = lift(o["interp_c2f_y"])(U)
+    emit(_xv_dd_f2c(_xa_mul(u_fxfy, _xv_upwind(V, u_fxfy, m=0)), dx))
+    v_cy = lift(o["interp_f2c_y"])(V)
+    emit(lift(o["ddy_c2f"])(_xa_mul(v_cy, y_upwind(V, v_cy, m=1))))
+    w_fy = lift(o["interp_c2f_y"])(W)
+    emit(lift(o["ddz_f2c"])(_xa_mul(w_fy, z_up(V, w_fy, n_dst=nz + 1, split=0))))
+    gv_r[0] = -gv_r[0]
+    emit(-o["ddy_c2f"](center(PHY)))
+    Vc = center(V)
+    emit(nu * center(_xv_d2(V, dx)))
+    emit(nu * o["d2y"](Vc))
+    emit(nu * o["d2z_value_bc"](Vc, 0.0, 0.0))
+
+    # ---- w at (cx, cy, fz) -------------------------------------------------
+    emit = make_emit(gw_r)
+    u_fz = lift(o["interp_c2f_z_interior"])(U)
+    emit(_xv_dd_f2c(_xa_mul(u_fz, _xv_upwind(W, u_fz, m=0)), dx))
+    v_fz = lift(o["interp_c2f_z_interior"])(V)
+    emit(lift(o["ddy_f2c"])(_xa_mul(v_fz, y_upwind(W, v_fz, m=0))))
+    w_cz = lift(o["interp_f2c_z"])(W)
+    emit(lift(o["ddz_c2f_interior"])(
+        _xa_mul(w_cz, z_up(W, w_cz, n_dst=nz, split=1))
+    ))
+    gw_r[0] = -gw_r[0]
+    Wc = center(W)
+    emit(nu * center(_xv_d2(W, dx)))
+    emit(nu * o["d2y"](Wc))
+    emit(nu * o["d2z_face_interior"](Wc))
+    emit(None, zero_walls=True)
+
+    # ---- buoyancy tracer ---------------------------------------------------
+    emit = make_emit(gb_r)
+    emit(_xv_dd_f2c(_xa_mul(U, _xv_upwind(B, U, m=0)), dx))
+    emit(lift(o["ddy_f2c"])(_xa_mul(V, y_upwind(B, V, m=0))))
+    emit(lift(o["ddz_f2c"])(_xa_mul(W, z_up(B, W, n_dst=nz + 1, split=0))))
+    gb_r[0] = -gb_r[0]
+    Bc = center(B)
+    emit(kappa * center(_xv_d2(B, dx)))
+    emit(kappa * o["d2y"](Bc))
+    emit(kappa * o["d2z_value_bc"](Bc, bot_c[0], min_b))
+
+
+@functools.lru_cache(maxsize=None)
+def make_whole_stage_3d(
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    x_blk: int = 8,
+    e_blk: int = DEFAULT_E_BLK_3D,
+    interpret: bool = False,
+    vmem_limit_mb: int = 127,
+):
+    """Build the x-blocked whole-stage tendency kernel.
+
+    Returns ``stage(u, v, w, b, p_hy, bottom) -> (gu, gv, gw, gb)`` over
+    batch-minor (nx, nz[+1], ny, E) arrays (bottom is (nx, ny, E)); E must
+    divide by ``e_blk`` and nx by ``x_blk``."""
+    assert nx % x_blk == 0, (nx, x_blk)
+    nxb = nx // x_blk
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _whole_stage_kernel(refs, **kw),
+        x_blk=x_blk, nz=nz, dx=dx, dy=dy, dz=dz,
+        nu=nu, kappa=kappa, min_b=min_b,
+    )
+
+    single = pl.Buffered(buffer_count=1)
+
+    def views(n):
+        """prev/center/next BlockSpecs for one (slabs, nx, n, ny, e_blk) field."""
+        def spec(shift):
+            def index_map(s, i):
+                return (s, jax.lax.rem(i + shift + nxb, nxb), 0, 0, 0)
+            return pl.BlockSpec(
+                (1, x_blk, n, ny, e_blk), index_map,
+                memory_space=pltpu.VMEM, pipeline_mode=single,
+            )
+        return [spec(-1), spec(0), spec(1)]
+
+    in_specs = (
+        views(nz) + views(nz) + views(nz + 1) + views(nz)
+        + views(nz)
+        + [pl.BlockSpec((1, x_blk, ny, e_blk), lambda s, i: (s, i, 0, 0),
+                        memory_space=pltpu.VMEM, pipeline_mode=single)]
+    )
+
+    def out_spec(n):
+        return pl.BlockSpec(
+            (1, x_blk, n, ny, e_blk), lambda s, i: (s, i, 0, 0, 0),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+
+    out_specs = [out_spec(nz), out_spec(nz), out_spec(nz + 1), out_spec(nz)]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+    )
+
+    def _stack(q):
+        parts = q.reshape(q.shape[:-1] + (-1, e_blk))
+        return jnp.moveaxis(parts, -2, 0)
+
+    def _unstack(q):
+        return jnp.moveaxis(q, 0, -2).reshape(q.shape[1:-1] + (-1,))
+
+    def stage(u, v, w, b, p_hy, bottom):
+        e = u.shape[-1]
+        if e % e_blk:
+            raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+        n_slabs = e // e_blk
+        dtype = u.dtype
+        out_shape = [
+            jax.ShapeDtypeStruct((n_slabs, nx, n, ny, e_blk), dtype)
+            for n in (nz, nz, nz + 1, nz)
+        ]
+        us, vs, ws, bs, ps = (_stack(q) for q in (u, v, w, b, p_hy))
+        bot = _stack(bottom)
+        gu, gv, gw, gb = pl.pallas_call(
+            kernel,
+            grid=(n_slabs, nxb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(us, us, us, vs, vs, vs, ws, ws, ws, bs, bs, bs, ps, ps, ps, bot)
+        return tuple(_unstack(g) for g in (gu, gv, gw, gb))
+
+    return stage
+
+
 @functools.lru_cache(maxsize=None)
 def make_field_stage_3d(
     field: str,

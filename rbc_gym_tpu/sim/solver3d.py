@@ -111,15 +111,19 @@ def make_solver3d(
     grid: Grid3D,
     params: SimParams3D,
     dtype=jnp.float32,
-    fused: bool | None = None,
+    fused: bool | str | None = None,
     fused_interpret: bool = False,
     e_blk: int = DEFAULT_E_BLK_3D,
+    x_blk: int = 8,
 ) -> Solver3D:
     """Build the 3D solver bundle.
 
-    ``fused`` selects the per-field Pallas tendency kernels (default:
-    auto — on for float32 on TPU when the env batch divides ``e_blk``; the
-    XLA batch-minor stencil path otherwise).
+    ``fused`` selects the Pallas tendency path: ``"stage"`` = the x-blocked
+    whole-stage kernel (all four tendencies in one kernel per env-slab ×
+    x-block grid step), ``"field"``/True = per-field tendency kernels,
+    False = pure-XLA batch-minor stencils. Default (None): auto — the
+    whole-stage kernel for float32 on TPU when the env batch divides
+    ``e_blk`` and nx divides ``x_blk``; the XLA path otherwise.
     """
     if abs(grid.lz - params.lz) > 1e-12:
         params = dataclasses.replace(params, lz=grid.lz)
@@ -269,12 +273,24 @@ def make_solver3d(
         return jnp.moveaxis(b2.reshape((-1, nx, ny)), 0, -1)
 
     if fused is None:
-        fused = dtype == jnp.float32 and (
+        pallas_ok = dtype == jnp.float32 and (
             jax.default_backend() not in ("cpu",) or fused_interpret
         )
+        fused = ("stage" if nx % x_blk == 0 else "field") if pallas_ok else False
+    if fused is True:
+        fused = "field"
 
     _fused_tend = None
-    if fused:
+    _stage_tend = None
+    if fused == "stage":
+        from rbc_gym_tpu.ops.pallas3d import make_whole_stage_3d
+
+        _stage_tend = make_whole_stage_3d(
+            nx, ny, nz, dx, dy, dz,
+            params.nu, params.kappa, min_b,
+            x_blk=x_blk, e_blk=e_blk, interpret=fused_interpret,
+        )
+    elif fused == "field":
         from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d
 
         _fused_tend = {
@@ -297,12 +313,15 @@ def make_solver3d(
         for m in range(3):
             gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
             p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
-            g = (
-                _fused_tend["u"](u, v, w, p_hy),
-                _fused_tend["v"](u, v, w, p_hy),
-                _fused_tend["w"](u, v, w),
-                _fused_tend["b"](u, v, w, b, bottom_b),
-            )
+            if _stage_tend is not None:
+                g = _stage_tend(u, v, w, b, p_hy, bottom_b)
+            else:
+                g = (
+                    _fused_tend["u"](u, v, w, p_hy),
+                    _fused_tend["v"](u, v, w, p_hy),
+                    _fused_tend["w"](u, v, w),
+                    _fused_tend["b"](u, v, w, b, bottom_b),
+                )
             if m == 0:
                 u = u + dt * gamma * g[0]
                 v = v + dt * gamma * g[1]
@@ -344,7 +363,10 @@ def make_solver3d(
         bottom_bm = _bottom_bm(bottom, batch)
 
         dts_arr = jnp.asarray(dts, dtype)
-        if _fused_tend is not None and fbm.u.shape[-1] % e_blk == 0:
+        if (
+            (_fused_tend is not None or _stage_tend is not None)
+            and fbm.u.shape[-1] % e_blk == 0
+        ):
             def body(carry, dt):
                 return substep_bm_fused(carry, bottom_bm, dt), None
         else:
