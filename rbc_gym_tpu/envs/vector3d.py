@@ -56,6 +56,7 @@ class RBC3DVectorEnv:
         checkpoint_idx: Optional[int] = None,
         auto_reset: bool = True,
         dtype=jnp.float32,
+        fused=None,
     ):
         self.num_envs = num_envs
         nz, ny, nx = state_shape
@@ -79,7 +80,9 @@ class RBC3DVectorEnv:
         self.auto_reset = auto_reset
         self.dtype = dtype
         self.checkpoint_idx = checkpoint_idx
-        self.solver = make_solver3d(self.grid, self.params, dtype=dtype)
+        self.solver = make_solver3d(
+            self.grid, self.params, dtype=dtype, fused=fused
+        )
 
         self._bank = None
         if checkpoint is not None:

@@ -687,7 +687,8 @@ def make_whole_stage_3d(
         """prev/center/next BlockSpecs for one (slabs, nx, n, ny, e_blk) field."""
         def spec(shift):
             def index_map(s, i):
-                return (s, jax.lax.rem(i + shift + nxb, nxb), 0, 0, 0)
+                # np.int32 keeps the rem int32 under jax_enable_x64
+                return (s, jax.lax.rem(i + np.int32(shift + nxb), np.int32(nxb)), 0, 0, 0)
             return pl.BlockSpec(
                 (1, x_blk, n, ny, e_blk), index_map,
                 memory_space=pltpu.VMEM, pipeline_mode=single,

@@ -44,6 +44,32 @@ def test_fused_env_step_matches_xla(solvers):
         )
 
 
+@pytest.fixture(scope="module")
+def stage_solver():
+    """fused='stage': the x-blocked whole-stage kernel (interpret mode)."""
+    return make_solver3d(
+        GRID, SimParams3D(), dtype=jnp.float32, fused="stage",
+        fused_interpret=True, e_blk=2, x_blk=8,
+    )
+
+
+def test_whole_stage_env_step_matches_xla(solvers, stage_solver):
+    sx, _ = solvers
+    f = sx.init_random(jax.random.PRNGKey(0), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    fx = jax.jit(sx.env_step)(f, a)
+    fs = jax.jit(stage_solver.env_step)(f, a)
+    for name in ("u", "v", "w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fs, name)),
+            np.asarray(getattr(fx, name)),
+            atol=5e-6,
+            err_msg=f"field {name}",
+        )
+
+
 def test_fused_falls_back_on_odd_batch(solvers):
     _, sf = solvers
     f = sf.init_random(jax.random.PRNGKey(1), batch_shape=(3,))  # 3 % 2 != 0
