@@ -57,6 +57,18 @@ def parse_args():
     p.add_argument("--resume_training", action="store_true")
     p.add_argument("--wandb", action="store_true",
                    help="enable W&B logging (requires wandb installed)")
+    # Config overrides used by scripts/train_sa.sbatch (take precedence over
+    # both the in-script defaults and a --config YAML).
+    p.add_argument("--num_envs", type=int, default=None,
+                   help="override rl_n_envs")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override rl_nr_iterations")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="override rl_n_steps")
+    p.add_argument("--ra", type=float, default=None,
+                   help="override rbc_rayleigh_number")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="override rbc_checkpoint (3D bank path)")
     return p.parse_args()
 
 
@@ -72,6 +84,24 @@ def main():
     else:
         logger.info("No config file provided; using in-script defaults.")
 
+    overrides = {
+        "rl_n_envs": args.num_envs,
+        "rl_nr_iterations": args.iterations,
+        "rl_n_steps": args.n_steps,
+        "rbc_rayleigh_number": args.ra,
+        "rbc_checkpoint": args.checkpoint,
+    }
+    for key, val in overrides.items():
+        if val is not None:
+            config[key] = val
+    # Keep the minibatch divisibility invariant when the buffer is resized
+    # via CLI overrides: batch one env-batch worth of timesteps.
+    if (args.num_envs is not None or args.n_steps is not None) and (
+        (config["rl_n_steps"] * config["rl_n_envs"])
+        % config["rl_batch_size"] != 0
+    ):
+        config["rl_batch_size"] = config["rl_n_envs"]
+
     rollout_buffer_size = config["rl_n_steps"] * config["rl_n_envs"]
     assert rollout_buffer_size % config["rl_batch_size"] == 0, (
         "rollout_buffer_size must be divisible by batch_size"
@@ -83,6 +113,16 @@ def main():
         import yaml
 
         yaml.safe_dump(config, f)
+
+    # Multi-host: no-op on single-process runs; on a pod/cluster launch
+    # (scripts/launch_multihost.sh) this joins the ('host','env') SPMD mesh.
+    from rbc_gym_tpu.parallel import (
+        initialize_distributed,
+        make_host_env_mesh,
+        shard_ppo_trainer,
+    )
+
+    initialize_distributed()
 
     from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
     from rbc_gym_tpu.models import RBCActorCritic
@@ -137,6 +177,17 @@ def main():
         "Rollout buffer: %d timesteps per rollout (%d envs x %d steps)",
         rollout_buffer_size, config["rl_n_envs"], config["rl_n_steps"],
     )
+
+    import jax
+
+    if jax.device_count() > 1 and config["rl_n_envs"] % jax.device_count() == 0:
+        mesh = make_host_env_mesh()
+        trainer = shard_ppo_trainer(trainer, mesh)
+        logger.info(
+            "Sharded PPO over mesh %s (%d hosts x %d devices)",
+            dict(zip(mesh.axis_names, mesh.devices.shape)),
+            mesh.devices.shape[0], mesh.devices.shape[1],
+        )
 
     ckpt_dir = os.path.join(args.output_dir, "models", "checkpoints")
     if args.resume_training and os.path.isdir(ckpt_dir):

@@ -149,19 +149,43 @@ class RBC3DVectorEnv:
         final_obs = self._observe(fields)
 
         if self.auto_reset:
-            new_key = jax.vmap(jax.random.fold_in)(state.key, step)
-            fresh = jax.vmap(self._init_fields)(new_key)
+            # Split the per-env key at each autoreset so every episode draws
+            # a fresh IC / bank index (see vector2d._step for the rationale);
+            # lax.cond skips the fresh-IC work on non-truncating steps.
+            def _with_autoreset(operand):
+                flds, key = operand
+                ks = jax.vmap(jax.random.split)(key)  # (E, 2, key)
+                carry, init_keys = ks[:, 0], ks[:, 1]
+                fresh = jax.vmap(self._init_fields)(init_keys)
 
-            def pick(new, old):
-                mask = truncated.reshape(truncated.shape + (1,) * (old.ndim - 1))
-                return jnp.where(mask, new, old)
+                def pick(new, old):
+                    m = truncated.reshape(
+                        truncated.shape + (1,) * (old.ndim - 1)
+                    )
+                    return jnp.where(m, new, old)
 
-            fields = jax.tree_util.tree_map(pick, fresh, fields)
+                new_fields = jax.tree_util.tree_map(pick, fresh, flds)
+                kmask = truncated.reshape(
+                    truncated.shape + (1,) * (key.ndim - 1)
+                )
+                new_key = jnp.where(kmask, carry, key)
+                return new_fields, new_key, self._observe(new_fields)
+
+            def _no_autoreset(operand):
+                flds, key = operand
+                return flds, key, final_obs
+
+            fields, key, obs = jax.lax.cond(
+                jnp.any(truncated),
+                _with_autoreset,
+                _no_autoreset,
+                (fields, state.key),
+            )
             t = jnp.where(truncated, 0.0, t)
             step = jnp.where(truncated, 1, step)
-            obs = self._observe(fields)
         else:
             obs = final_obs
+            key = state.key
 
         ts = TimeStep3D(
             obs=obs,
@@ -173,7 +197,7 @@ class RBC3DVectorEnv:
             t=t,
             step=step,
         )
-        return EnvState3D(fields=fields, t=t, step=step, key=state.key), ts
+        return EnvState3D(fields=fields, t=t, step=step, key=key), ts
 
 
 class RBC3DGymVectorEnv(gym.vector.VectorEnv):

@@ -14,5 +14,20 @@ from rbc_gym_tpu.parallel.mesh import (
     replicate,
     shard_vector_env,
 )
+from rbc_gym_tpu.parallel.distributed import (
+    initialize_distributed,
+    make_host_env_mesh,
+    shard_ppo_trainer,
+    host_local_slice,
+)
 
-__all__ = ["make_env_mesh", "shard_batch", "replicate", "shard_vector_env"]
+__all__ = [
+    "make_env_mesh",
+    "shard_batch",
+    "replicate",
+    "shard_vector_env",
+    "initialize_distributed",
+    "make_host_env_mesh",
+    "shard_ppo_trainer",
+    "host_local_slice",
+]

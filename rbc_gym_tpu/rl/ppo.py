@@ -53,7 +53,12 @@ class Transition(NamedTuple):
     value: jax.Array
     reward: jax.Array
     truncated: jax.Array
-    next_value: jax.Array  # V(final_obs) for bootstrapping
+    # V(final_obs) at truncation boundaries only (zeros elsewhere). On
+    # non-truncating steps final_obs == next obs bit-exactly, so the
+    # bootstrap value is the NEXT step's stored `value` — recomputing
+    # V(final_obs) every step would double policy inference per rollout
+    # step for nothing (round-1 verdict, weak #6).
+    boundary_value: jax.Array
     nusselt: jax.Array
 
 
@@ -124,8 +129,18 @@ class PPO:
 
             env_state, ts = self.env.step(env_state, clipped)
             next_obs = self.obs_transform(ts.obs)
-            final_obs = self.obs_transform(ts.final_obs)
-            _, _, next_value = self._policy(train_state.params, final_obs)
+            # V(final_obs) is needed ONLY at truncation boundaries (where
+            # ts.obs is the post-autoreset fresh IC != ts.final_obs); the
+            # lockstep envs truncate together, so lax.cond skips both the
+            # obs transform and the value forward on every other step.
+            boundary_value = jax.lax.cond(
+                jnp.any(ts.truncated),
+                lambda fo: self._policy(
+                    train_state.params, self.obs_transform(fo)
+                )[2],
+                lambda fo: jnp.zeros_like(value),
+                ts.final_obs,
+            )
             reward = self.reward_transform(ts.reward)
             nusselt = getattr(ts, "nusselt", None)
             if nusselt is None:
@@ -137,7 +152,7 @@ class PPO:
                 value=value,
                 reward=reward,
                 truncated=ts.truncated,
-                next_value=next_value,
+                boundary_value=boundary_value,
                 nusselt=nusselt,
             )
             return (env_state, next_obs, key), tr
@@ -145,16 +160,31 @@ class PPO:
         (env_state, obs, key), traj = jax.lax.scan(
             step_fn, (env_state, obs, key), None, length=cfg.n_steps
         )
-        return env_state, obs, key, traj
+        # Bootstrap for the final rollout step: V(obs_T), one extra forward
+        # per rollout instead of one per step.
+        _, _, last_value = self._policy(train_state.params, obs)
+        return env_state, obs, key, traj, last_value
 
-    def _gae(self, traj: Transition):
+    def _gae(self, traj: Transition, last_value: jax.Array):
         cfg = self.config
 
-        def scan_fn(carry, tr):
+        # Stitch the bootstrap values: the next step's stored V(obs) on
+        # interior steps (== V(final_obs) there, since final_obs is the next
+        # obs bit-exactly when not truncated), the boundary forward at
+        # truncations, V(obs_T) at the rollout end.
+        next_values = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
+        )
+        next_values = jnp.where(
+            traj.truncated, traj.boundary_value, next_values
+        )
+
+        def scan_fn(carry, x):
             adv_next = carry
+            tr, next_value = x
             # episodes never terminate -> always bootstrap from next_value;
             # GAE accumulation stops at episode boundaries (truncation)
-            delta = tr.reward + cfg.gamma * tr.next_value - tr.value
+            delta = tr.reward + cfg.gamma * next_value - tr.value
             adv = delta + cfg.gamma * cfg.gae_lambda * jnp.where(
                 tr.truncated, 0.0, adv_next
             )
@@ -163,7 +193,7 @@ class PPO:
         _, advantages = jax.lax.scan(
             scan_fn,
             jnp.zeros_like(traj.value[0]),
-            traj,
+            (traj, next_values),
             reverse=True,
         )
         returns = advantages + traj.value
@@ -247,7 +277,7 @@ class PPO:
                     value=mb["value"],
                     reward=None,
                     truncated=None,
-                    next_value=None,
+                    boundary_value=None,
                     nusselt=None,
                 )
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
@@ -265,10 +295,10 @@ class PPO:
         return train_state, key, metrics
 
     def _iteration_impl(self, train_state, env_state, obs, key):
-        env_state, obs, key, traj = self._rollout(
+        env_state, obs, key, traj, last_value = self._rollout(
             train_state, env_state, obs, key
         )
-        advantages, returns = self._gae(traj)
+        advantages, returns = self._gae(traj, last_value)
         train_state, key, metrics = self._update(
             train_state, traj, advantages, returns, key
         )

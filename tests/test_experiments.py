@@ -54,6 +54,46 @@ def test_run_and_eval_sarl(tmp_path, monkeypatch):
     eval_sarl.main()
 
 
+def test_sbatch_args_roundtrip_cli(monkeypatch):
+    """Regression (round-1 verdict): every flag scripts/train_sa.sbatch
+    passes must be accepted by run_sarl.py's argparse."""
+    import re
+
+    sbatch = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "train_sa.sbatch"
+    )
+    text = open(sbatch).read()
+    # Only flags actually passed to run_sarl.py: the ARGS=( ... ) block plus
+    # the conditional ARGS+=( ... ) appends.
+    blocks = re.findall(r"ARGS\+?=\((.*?)\)", text, flags=re.S)
+    flags = set(re.findall(r"(--[a-z_]+)", "\n".join(blocks)))
+    argv = ["run_sarl.py"]
+    value_flags = {
+        "--output_dir": "/tmp/x",
+        "--num_envs": "64",
+        "--iterations": "200",
+        "--n_steps": "96",
+        "--ra": "2500",
+        "--checkpoint": "/tmp/bank.h5",
+        "--config": "/tmp/cfg.yaml",
+    }
+    for f in sorted(flags):
+        if f in value_flags:
+            argv += [f, value_flags[f]]
+        else:
+            argv.append(f)  # boolean flags: --wandb, --resume_training
+    monkeypatch.setattr(sys, "argv", argv)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "experiments")
+    )
+    import run_sarl
+
+    args = run_sarl.parse_args()  # argparse would SystemExit on unknown flags
+    assert args.num_envs == 64 and args.iterations == 200
+    assert args.n_steps == 96 and args.ra == 2500
+    assert args.checkpoint == "/tmp/bank.h5"
+
+
 def test_flowstats_tiny(tmp_path, monkeypatch):
     out = tmp_path / "flowstats.pkl"
     monkeypatch.setattr(

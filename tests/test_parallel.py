@@ -46,6 +46,54 @@ def test_sharded_env_step_matches_unsharded():
     )
 
 
+def test_initialize_distributed_noop_single_process():
+    from rbc_gym_tpu.parallel import initialize_distributed
+
+    # single process, no coordinator configured -> must be a no-op
+    assert initialize_distributed() is False
+
+
+def test_host_env_mesh_single_process():
+    from rbc_gym_tpu.parallel import make_host_env_mesh, host_local_slice
+
+    mesh = make_host_env_mesh()
+    assert mesh.axis_names == ("host", "env")
+    assert mesh.devices.shape == (1, len(jax.devices()))
+    mesh4 = make_host_env_mesh(n_devices=4)
+    assert mesh4.devices.shape == (1, 4)
+    assert host_local_slice(16) == slice(0, 16)
+
+
+def test_shard_ppo_trainer_host_env_mesh():
+    """shard_ppo_trainer: env batch sharded over the mesh, params
+    replicated, and one training iteration runs SPMD to a finite loss."""
+    from rbc_gym_tpu.models import RBCActorCritic
+    from rbc_gym_tpu.rl import PPO, PPOConfig
+    from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
+    from rbc_gym_tpu.parallel import make_host_env_mesh, shard_ppo_trainer
+
+    mesh = make_host_env_mesh()
+    env = RBC3DVectorEnv(
+        num_envs=8,
+        state_shape=(16, 32, 32),
+        heater_duration=0.125,
+        episode_length=0.5,  # truncation (and autoreset) inside the rollout
+        rayleigh_number=2500,
+    )
+    trainer = PPO(
+        env,
+        RBCActorCritic(),
+        PPOConfig(n_steps=2, n_epochs=1, n_minibatches=1),
+        seed=0,
+    )
+    trainer = shard_ppo_trainer(trainer, mesh)
+    assert len(trainer.env_state.fields.b.sharding.device_set) == 8
+    assert len(trainer.train_state.params["params"]
+               ["actor_conv1"]["kernel"].sharding.device_set) == 8
+    metrics = trainer.learn(1)
+    assert np.isfinite(metrics["loss"])
+
+
 def test_sharded_ppo_iteration():
     """Full PPO train step with sharded env batch + replicated params."""
     from rbc_gym_tpu.models import RBCActorCritic

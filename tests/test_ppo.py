@@ -105,6 +105,67 @@ def test_predict_deterministic(trained):
     assert np.all(np.abs(np.asarray(a1)) <= 1.0)
 
 
+def test_gae_matches_explicit_loop(trained):
+    """The stitched-bootstrap GAE (next step's stored value + boundary
+    forwards) must equal an explicit per-step next_value loop — the round-1
+    implementation paid a full V(final_obs) forward every step for this."""
+    trainer, *_ = trained
+    cfg = trainer.config
+    T, E = 6, 3
+    rng = np.random.default_rng(0)
+    value = rng.normal(size=(T, E)).astype(np.float32)
+    reward = rng.normal(size=(T, E)).astype(np.float32)
+    boundary = rng.normal(size=(T, E)).astype(np.float32)
+    truncated = np.zeros((T, E), bool)
+    truncated[2] = True  # lockstep truncation mid-rollout
+    last_value = rng.normal(size=(E,)).astype(np.float32)
+
+    from rbc_gym_tpu.rl.ppo import Transition
+
+    traj = Transition(
+        obs=None, action=None, log_prob=None,
+        value=jnp.asarray(value), reward=jnp.asarray(reward),
+        truncated=jnp.asarray(truncated),
+        boundary_value=jnp.asarray(boundary), nusselt=None,
+    )
+    adv, ret = trainer._gae(traj, jnp.asarray(last_value))
+
+    # explicit reference: old semantics with per-step next_value arrays
+    next_value = np.concatenate([value[1:], last_value[None]], axis=0)
+    next_value = np.where(truncated, boundary, next_value)
+    ref_adv = np.zeros((T, E), np.float32)
+    carry = np.zeros(E, np.float32)
+    for t in reversed(range(T)):
+        delta = reward[t] + cfg.gamma * next_value[t] - value[t]
+        carry = delta + cfg.gamma * cfg.gae_lambda * np.where(
+            truncated[t], 0.0, carry
+        )
+        ref_adv[t] = carry
+    np.testing.assert_allclose(np.asarray(adv), ref_adv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ret), ref_adv + value, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_final_obs_equals_obs_when_not_truncated():
+    """Property the GAE stitching relies on: on non-truncating steps the
+    env's obs and final_obs are bit-identical."""
+    env = RBC3DVectorEnv(
+        num_envs=2,
+        state_shape=(8, 16, 16),
+        heater_duration=0.125,
+        episode_length=1,  # 2 steps/episode
+        rayleigh_number=2500,
+    )
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.zeros((2, 8, 8)))
+    assert not bool(ts.truncated.any())
+    np.testing.assert_array_equal(np.asarray(ts.obs), np.asarray(ts.final_obs))
+    state, ts = env.step(state, jnp.zeros((2, 8, 8)))
+    assert bool(ts.truncated.all())
+    assert not np.array_equal(np.asarray(ts.obs), np.asarray(ts.final_obs))
+
+
 def test_evaluation_callback(trained):
     trainer, *_ , tmp = trained
     eval_env = RBC3DVectorEnv(

@@ -63,6 +63,53 @@ def test_gym_vector_adapter():
     env.close()
 
 
+def test_autoreset_draws_fresh_ic_each_episode():
+    """Regression (round-1 verdict): consecutive episodes of the same env
+    slot must start from different initial conditions — the per-env key has
+    to advance at every autoreset."""
+    env = RBC2DVectorEnv(num_envs=2, **CFG)
+    state, first_obs = env.reset(jax.random.PRNGKey(7))
+    actions = jnp.zeros((2, 12))
+
+    episode_starts = [np.asarray(first_obs)]
+    for _ in range(3):  # run 3 full episodes (3 steps each)
+        for _ in range(3):
+            state, ts = env.step(state, actions)
+        assert bool(ts.truncated.all())
+        episode_starts.append(np.asarray(ts.obs))  # post-autoreset IC obs
+
+    for a, b in zip(episode_starts, episode_starts[1:]):
+        # every env slot: new episode IC differs from the previous one
+        for e in range(2):
+            assert not np.array_equal(a[e], b[e]), "autoreset replayed an IC"
+
+
+def test_autoreset_bank_visits_multiple_indices():
+    """Bank-backed envs must sample different episode indices across
+    autoresets, not replay one index forever."""
+    env = RBC2DVectorEnv(
+        num_envs=1,
+        checkpoint="/root/reference/data/checkpoints/train/ckpt_ra10000.h5",
+        observation_shape=(8, 16),
+        heater_duration=1.5,
+        episode_length=1.5,  # 1 step per episode → autoreset every step
+    )
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    bank_b = np.asarray(env._bank.b)  # (20, nx, nz)
+
+    def bank_index_of(fields_b):
+        d = np.abs(bank_b - fields_b[None]).reshape(bank_b.shape[0], -1).max(1)
+        return int(np.argmin(d))
+
+    seen = set()
+    for _ in range(8):
+        # state.fields after a truncating step holds the fresh bank IC
+        state, ts = env.step(state, jnp.zeros((1, 12)))
+        assert bool(ts.truncated.all())
+        seen.add(bank_index_of(np.asarray(state.fields.b[0])))
+    assert len(seen) >= 2, f"bank autoreset stuck on indices {seen}"
+
+
 def test_checkpoint_bank_vector_reset():
     env = RBC2DVectorEnv(
         num_envs=4,
