@@ -1,14 +1,17 @@
-"""Headline benchmark: lockstep 2D env throughput on one TPU chip.
+"""Headline benchmark: lockstep env throughput on one TPU chip.
 
 Baseline (BASELINE.md): the reference steps ONE env at 0.12 s/step for
 dt=1.0 of sim time (~33 RK3 substeps at dt_solver=0.03) on Apple Silicon.
 We measure the batched pure-JAX env at the same resolution (96x64) and
 normalize to the same unit of work: seconds per env-step *per unit sim
 time*, i.e. our heater_duration=1.5 steps (50 substeps) count as 1.5x the
-baseline step.
+baseline step. (Raw per-step ratio = vs_baseline / 1.5.)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints JSON lines, one per metric; the HEADLINE 2D metric is the LAST
+line. A 3D line (training config, 16x32x32, whole-stage Pallas kernel) is
+printed first; the reference publishes no 3D timing, so its vs_baseline
+is null. Before timing, a device-side fused-vs-XLA parity check guards
+against silent Mosaic lowering regressions (skip: BENCH_SKIP_PARITY=1).
 """
 
 import json
@@ -71,7 +74,56 @@ def run(num_envs: int, steps: int = 10) -> dict:
     }
 
 
+def run3d(num_envs: int, steps: int = 10) -> dict:
+    from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
+
+    env = RBC3DVectorEnv(
+        num_envs=num_envs,
+        rayleigh_number=2500,
+        state_shape=(16, 32, 32),
+        heater_duration=0.125,
+        dt_solver=0.01,
+        episode_length=37.5,
+    )
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    actions = jnp.zeros((num_envs, 8, 8), jnp.float32)
+    state, ts = env.step(state, actions)  # warmup/compile
+    jax.block_until_ready(ts.reward)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, ts = env.step(state, actions)
+    jax.block_until_ready(ts.reward)
+    elapsed = time.perf_counter() - t0
+    return {
+        "metric": "env_steps_per_sec_3d_16x32x32",
+        "value": round(num_envs * steps / elapsed, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": None,  # reference publishes no 3D timing
+        "num_envs": num_envs,
+        "sec_per_env_step": elapsed / (num_envs * steps),
+    }
+
+
 def main():
+    if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
+        # Device-side Pallas-vs-XLA parity: a Mosaic lowering regression
+        # must fail the bench, not ship inside a headline number.
+        from rbc_gym_tpu.utils.parity import fused_parity_2d, fused_parity_3d
+
+        err2 = fused_parity_2d(num_envs=128, steps=1)
+        err3 = fused_parity_3d(num_envs=128, steps=1)
+        print(f"bench: pallas parity ok (2d {err2:.2e}, 3d {err3:.2e})",
+              file=sys.stderr)
+
+    for num_envs in (int(os.environ.get("BENCH_ENVS_3D", 4096)), 1024, 256):
+        try:
+            print(json.dumps(run3d(num_envs)), flush=True)
+            break
+        except Exception as e:
+            print(f"bench3d: {num_envs} envs failed ({type(e).__name__}), "
+                  f"retrying smaller", file=sys.stderr)
+
     for num_envs in (int(os.environ.get("BENCH_ENVS", 4096)), 2048, 1024, 256):
         try:
             result = run(num_envs)

@@ -26,11 +26,17 @@ from rbc_gym_tpu.envs.rbc2d import RBCField
 
 
 def compute_cell_distances(
-    state: np.ndarray, state_shape, use_avg: bool = False
-) -> float:
+    state: np.ndarray,
+    state_shape,
+    use_avg: bool = False,
+    return_peaks: bool = False,
+):
     """Max pairwise periodic distance between Bénard cells (host-side).
 
-    ``state``: (C, nz, nx) as found in the 2D env's info dict.
+    ``state``: (C, nz, nx) as found in the 2D env's info dict. With
+    ``use_avg`` the column-averaged vertical velocity is the peak signal
+    instead of the mid-height line (reference rbc_reward_shaping.py
+    compute_cell_distances kwarg).
     """
     if use_avg:
         uy = state[RBCField.UY].mean(axis=0)
@@ -41,8 +47,11 @@ def compute_cell_distances(
     nx = state_shape[1]
     domain_x = np.linspace(0, 2 * np.pi, nx, endpoint=False)
 
+    def result(d):
+        return (d, peaks, uy) if return_peaks else d
+
     if len(peaks) <= 1:
-        return 0.0
+        return result(0.0)
 
     best = 0.0
     for i in range(len(peaks)):
@@ -58,11 +67,17 @@ def compute_cell_distances(
                 if np.all(uy[peaks[j] :] > 0) and np.all(uy[: peaks[i]] > 0):
                     d = 0.0
             best = max(best, d)
-    return float(best)
+    return result(float(best))
 
 
 class RBCRewardShaping(gym.Wrapper):
-    """Shape the reward with the distance between Bénard cells."""
+    """Shape the reward with the distance between Bénard cells.
+
+    ``debug_cell_dist`` enables the reference's interactive matplotlib
+    debug view (rbc_reward_shaping.py update()): mid-height temperature,
+    vertical velocity, their centered product, and the detected cell
+    peaks, redrawn at reset and every step.
+    """
 
     def __init__(
         self, env: gym.Env, shaping_weight: float, debug_cell_dist: bool = False
@@ -72,20 +87,63 @@ class RBCRewardShaping(gym.Wrapper):
         self.shaping_weight = shaping_weight
         self.debug_cell_dist = debug_cell_dist
         self.size_state = env.unwrapped.state_shape
+        if debug_cell_dist:
+            from matplotlib import pyplot as plt
+
+            self._plt = plt
+            self.fig_anim, self.ax_anim = plt.subplots()
+            self.ax_anim.set_xlim(0, 2 * np.pi)
+            self.ax_anim.set_ylim(-2, 2)
+            x0 = np.linspace(0, 2 * np.pi, self.size_state[1], endpoint=False)
+            (self.line,) = self.ax_anim.plot(x0, np.zeros_like(x0), "b-")
+            (self.line_uy,) = self.ax_anim.plot(x0, np.zeros_like(x0), "r-")
+            (self.line_TuY,) = self.ax_anim.plot(x0, np.zeros_like(x0), "g-")
+            (self.line_cells,) = self.ax_anim.plot([], [], "x")
 
     def reset(
         self,
         seed: int | None = None,
         options: Dict[str, Any] | None = None,
     ) -> Tuple[Any, Dict[str, Any]]:
-        return self.env.reset(seed=seed, options=options)
+        out = self.env.reset(seed=seed, options=options)
+        if self.debug_cell_dist:
+            self.update()
+            self._plt.show(block=False)
+        return out
 
     def step(self, action):
+        if self.debug_cell_dist:
+            self.update()
         obs, reward, terminated, truncated, info = self.env.step(action)
-        cd = compute_cell_distances(info["state"], self.size_state)
+        cd, peaks, uy = compute_cell_distances(
+            info["state"], self.size_state, return_peaks=True
+        )
         reward = self.__apply_reward_shaping(cd, reward)
         info["cell_dist"] = cd
+        if self.debug_cell_dist:
+            domain_x = np.linspace(
+                0, 2 * np.pi, self.size_state[1], endpoint=False
+            )
+            self.line_cells.set_data(domain_x[peaks], uy[peaks])
+            self.logger.info(
+                "Distance between cells: %s. Number of peaks: %d",
+                cd, len(peaks),
+            )
         return obs, reward, terminated, truncated, info
+
+    def update(self):
+        """Redraw the debug view from the env's current diagnostic state
+        (reference rbc_reward_shaping.py update())."""
+        state = self.env.unwrapped._diag_state
+        mid = int(self.size_state[0] / 2) - 1
+        t_mid = state[RBCField.T][mid]
+        uy = state[RBCField.UY][mid]
+        xdata = np.linspace(0, 2 * np.pi, self.size_state[1], endpoint=False)
+        self.line.set_data(xdata, t_mid)
+        self.line_uy.set_data(xdata, uy)
+        self.line_TuY.set_data(xdata, (t_mid - 1.5) * uy)
+        self.fig_anim.canvas.draw()
+        self.fig_anim.canvas.flush_events()
 
     def __apply_reward_shaping(self, cell_distances, reward) -> float:
         w = self.shaping_weight

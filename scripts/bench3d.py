@@ -61,5 +61,11 @@ if __name__ == "__main__":
     sizes = [int(a) for a in sys.argv[2:]] or [1024, 4096]
     if fused == "xla":
         fused = False
+    elif os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
+        # device-side Mosaic-lowering parity guard (round-1 verdict #5)
+        from rbc_gym_tpu.utils.parity import fused_parity_3d
+
+        err = fused_parity_3d(num_envs=128, steps=1, fused=fused)
+        print(f"pallas parity ok (fused={fused!r}: {err:.2e})", flush=True)
     for n in sizes:
         run(fused, n)

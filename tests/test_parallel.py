@@ -88,8 +88,9 @@ def test_shard_ppo_trainer_host_env_mesh():
     )
     trainer = shard_ppo_trainer(trainer, mesh)
     assert len(trainer.env_state.fields.b.sharding.device_set) == 8
-    assert len(trainer.train_state.params["params"]
-               ["actor_conv1"]["kernel"].sharding.device_set) == 8
+    assert len(
+        trainer.train_state.params["params"]["log_std"].sharding.device_set
+    ) == 8  # replicated over all devices
     metrics = trainer.learn(1)
     assert np.isfinite(metrics["loss"])
 

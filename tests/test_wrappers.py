@@ -87,6 +87,51 @@ def test_reward_shaping_wrapper():
     env.close()
 
 
+def test_reward_shaping_debug_mode():
+    """debug_cell_dist renders the reference's matplotlib debug view
+    (headless Agg backend) without disturbing reward/info."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    env = gym.make("rbc_gym/RayleighBenardConvection2D-v0", **SMALL)
+    wrapped = RBCRewardShaping(env, shaping_weight=0.5, debug_cell_dist=True)
+    wrapped.reset(seed=0)
+    obs, reward, term, trunc, info = wrapped.step(
+        env.action_space.sample() * 0
+    )
+    assert "cell_dist" in info and np.isfinite(reward)
+    # debug artists hold the last-drawn peak markers
+    xs, ys = wrapped.line_cells.get_data()
+    assert len(xs) == len(ys)
+    env.close()
+
+
+def test_cell_distance_use_avg():
+    """use_avg switches the peak signal to the column-averaged vertical
+    velocity (reference compute_cell_distances kwarg)."""
+    nx, nz = 32, 4
+    x = np.linspace(0, 2 * np.pi, nx, endpoint=False)
+    state = np.zeros((3, nz, nx), np.float32)
+    # mid-height line flat (no peaks); other rows carry a two-cell signal
+    state[2, 0] = np.sin(x)
+    state[2, 2] = np.sin(x)
+    state[2, 3] = np.sin(x)
+    d_mid = compute_cell_distances(state, (nz, nx))
+    d_avg = compute_cell_distances(state, (nz, nx), use_avg=True)
+    assert d_mid == 0.0  # mid line (row nz/2-1 = 1) is flat
+    assert d_avg == 0.0  # single peak of the averaged sine -> one cell
+    # two separated peaks in the average -> positive distance
+    state[2, 0] = 0.0
+    sig = np.full(nx, -0.5, np.float32)
+    sig[4] = 3.0
+    sig[20] = 3.0
+    state[2, 2] = sig
+    state[2, 3] = sig
+    d_avg2 = compute_cell_distances(state, (nz, nx), use_avg=True)
+    want = min(x[20] - x[4], 2 * np.pi - (x[20] - x[4]))
+    assert d_avg2 == pytest.approx(want)
+
+
 def _golden_cell_distance(uy, nx):
     state = np.zeros((3, 4, nx), np.float32)
     state[2, 1] = uy  # UY channel, row nz/2-1 = 1 for nz=4
