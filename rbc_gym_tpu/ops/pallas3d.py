@@ -651,6 +651,96 @@ def _whole_stage_kernel(
     emit(kappa * o["d2z_value_bc"](Bc, bot_c[0], min_b))
 
 
+def _div_kernel(refs, *, dx, dy, dz):
+    """Staggered divergence of (u, v, w) in one VMEM pass (the XLA version
+    materializes each derivative: ~4x the HBM traffic)."""
+    u_r, v_r, w_r, d_r = refs
+    o = _make_grid_ops(dx, dy, dz)
+    d_r[:] = o["ddx_f2c"](u_r[:]) + o["ddy_f2c"](v_r[:]) + o["ddz_f2c"](w_r[:])
+
+
+def _correct_kernel(refs, *, dx, dy, dz):
+    """Velocity correction u -= grad(q) in one VMEM pass. ``q`` is the
+    Poisson solve of the UNSCALED divergence: because the solve is linear,
+    dt_stage cancels out of the correction (p = q / dt_stage is recovered
+    outside only where the pressure itself is stored)."""
+    u_r, v_r, w_r, q_r, uo_r, vo_r, wo_r = refs
+    o = _make_grid_ops(dx, dy, dz)
+    q = q_r[:]
+    uo_r[:] = u_r[:] - o["ddx_c2f"](q)
+    vo_r[:] = v_r[:] - o["ddy_c2f"](q)
+    wo_r[:] = w_r[:] - o["ddz_c2f_interior"](q)
+
+
+@functools.lru_cache(maxsize=None)
+def make_projection_glue_3d(
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    e_blk: int = DEFAULT_E_BLK_3D,
+    interpret: bool = False,
+    vmem_limit_mb: int = 127,
+):
+    """Build the fused projection glue: ``div(u, v, w) -> div`` and
+    ``correct(u, v, w, q) -> (u', v', w')`` kernels around the (XLA/MXU)
+    Poisson solve. Both run full-x at full lanes with single-buffered
+    windows; together they replace ~3.7 ms/stage-unit of unfused XLA
+    stencils with ~0.9 ms of HBM-roofline passes (see
+    docs/PERF_NOTES_3D.md round-2 ablation)."""
+    single = pl.Buffered(buffer_count=1)
+
+    def spec(n):
+        return pl.BlockSpec(
+            (nx, n, ny, e_blk), lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+    )
+
+    div_kernel = functools.partial(
+        lambda *refs, **kw: _div_kernel(refs, **kw), dx=dx, dy=dy, dz=dz
+    )
+    corr_kernel = functools.partial(
+        lambda *refs, **kw: _correct_kernel(refs, **kw), dx=dx, dy=dy, dz=dz
+    )
+
+    def div(u, v, w):
+        e = u.shape[-1]
+        return pl.pallas_call(
+            div_kernel,
+            grid=(e // e_blk,),
+            in_specs=[spec(nz), spec(nz), spec(nz + 1)],
+            out_specs=spec(nz),
+            out_shape=jax.ShapeDtypeStruct((nx, nz, ny, e), u.dtype),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(u, v, w)
+
+    def correct(u, v, w, q):
+        e = u.shape[-1]
+        return pl.pallas_call(
+            corr_kernel,
+            grid=(e // e_blk,),
+            in_specs=[spec(nz), spec(nz), spec(nz + 1), spec(nz)],
+            out_specs=(spec(nz), spec(nz), spec(nz + 1)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nx, nz, ny, e), u.dtype),
+                jax.ShapeDtypeStruct((nx, nz, ny, e), u.dtype),
+                jax.ShapeDtypeStruct((nx, nz + 1, ny, e), u.dtype),
+            ),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(u, v, w, q)
+
+    return div, correct
+
+
 @functools.lru_cache(maxsize=None)
 def make_whole_stage_3d(
     nx: int,

@@ -282,6 +282,7 @@ def make_solver3d(
 
     _fused_tend = None
     _stage_tend = None
+    _glue = None
     if fused == "stage":
         from rbc_gym_tpu.ops.pallas3d import make_whole_stage_3d
 
@@ -301,6 +302,13 @@ def make_solver3d(
             )
             for name in ("u", "v", "w", "b")
         }
+    if fused in ("stage", "field"):
+        from rbc_gym_tpu.ops.pallas3d import make_projection_glue_3d
+
+        _glue = make_projection_glue_3d(
+            nx, ny, nz, dx, dy, dz,
+            e_blk=e_blk, interpret=fused_interpret,
+        )
 
     def substep_bm_fused(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
         """Per-field Pallas tendency kernels; the RK update (pure
@@ -334,15 +342,15 @@ def make_solver3d(
                 b = b + dt * (gamma * g[3] + zeta * g_prev[3])
             g_prev = g
             dt_stage = (gamma + zeta) * dt
-            div = (
-                st.ddx_f2c(u, dx, X)
-                + st.ddx_f2c(v, dy, Y)
-                + st.ddz_f2c(w, dz, Z)
-            )
-            p_nhs = poisson_bm(div / dt_stage)
-            u = u - dt_stage * st.ddx_c2f(p_nhs, dx, X)
-            v = v - dt_stage * st.ddx_c2f(p_nhs, dy, Y)
-            w = w - dt_stage * st.ddz_c2f_interior(p_nhs, dz, Z)
+            # Fused projection glue: divergence and gradient-correction run
+            # as single-pass Pallas kernels; the Poisson solve is linear,
+            # so it acts on the UNSCALED divergence and dt_stage only enters
+            # the stored pressure (recovered at the final stage below).
+            div_f, correct_f = _glue
+            q = poisson_bm(div_f(u, v, w))
+            u, v, w = correct_f(u, v, w, q)
+            if m == 2:
+                p_nhs = q / dt_stage
         p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
         return Fields3D(u, v, w, b, p_hy, p_nhs)
 
