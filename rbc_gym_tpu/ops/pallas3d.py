@@ -517,7 +517,10 @@ def _xv_upwind(p, vel, m):
     return jnp.where(v > 0, out, right), out_lo
 
 
-def _whole_stage_kernel(
+_HALO = 4  # x width of the prev/next halo view blocks (UB5 needs 3 columns)
+
+
+def _stage_rk_kernel(
     refs,
     *,
     x_blk: int,
@@ -528,26 +531,51 @@ def _whole_stage_kernel(
     nu: float,
     kappa: float,
     min_b: float,
+    gamma: float,
+    zeta: float,
+    emit_g: bool,
 ):
-    """All four UB5 tendencies for one (env-slab, x-block) grid step.
+    """One full RK3 stage for one (env-slab, x-block) grid step: in-kernel
+    hydrostatic pressure from b, all four UB5 tendencies, and the RK field
+    update f' = f + dt (gamma g + zeta g_prev).
 
-    refs: u_p,u_c,u_n, v_p,v_c,v_n, w_p,w_c,w_n, b_p,b_c,b_n,
-          phy_p,phy_c,phy_n, bot_c, gu, gv, gw, gb.
-    Each output is finished field-by-field with per-term ref-write barriers
-    (the same spill-control discipline as the per-field kernels)."""
+    refs: dt (SMEM), u_h,u_c,u_H, v_h,v_c,v_H, w_h,w_c,w_H, b_h,b_c,b_H,
+          bot_c, [gp_u,gp_v,gp_w,gp_b when zeta != 0], then outputs
+          [gu,gv,gw,gb when emit_g] + u',v',w',b'.  The _h/_H views are
+    narrow (_HALO-wide) blocks adjacent to the center block (periodic
+    modulo in the index map), so each field is read ~2x per stage instead
+    of the 3x that full-width prev/next views cost.
+
+    When emit_g is False (the final stage: no later stage consumes g) the
+    tendency accumulates directly into the field-output ref and is finished
+    in place by the affine RK update. Every term still lands in a ref write
+    (ordering barriers bound Mosaic register pressure, see
+    _field_stage_kernel)."""
     o = _make_grid_ops(dx, dy, dz)
-    (u_p, u_c, u_n, v_p, v_c, v_n, w_p, w_c, w_n,
-     b_p, b_c, b_n, phy_p, phy_c, phy_n, bot_c,
-     gu_r, gv_r, gw_r, gb_r) = refs
+    refs = list(refs)
+    dt_r = refs.pop(0)
+    (u_h, u_c, u_H, v_h, v_c, v_H, w_h, w_c, w_H,
+     b_h, b_c, b_H, bot_c) = refs[:13]
+    rest = refs[13:]
+    with_gprev = zeta != 0.0
+    gp = {}
+    if with_gprev:
+        gp["u"], gp["v"], gp["w"], gp["b"] = rest[:4]
+        rest = rest[4:]
+    g_out = {}
+    if emit_g:
+        g_out["u"], g_out["v"], g_out["w"], g_out["b"] = rest[:4]
+        rest = rest[4:]
+    f_out = dict(zip("uvwb", rest))
 
-    def ext(p_r, c_r, n_r):
+    def ext(h_r, c_r, H_r):
         """(x_blk+6, nk, ny, E) extended slab; element 0 at ext coord 0."""
         return (
             jnp.concatenate(
                 [
-                    _slice(p_r[0], _AX, x_blk - 3, x_blk),
-                    c_r[0],
-                    _slice(n_r[0], _AX, 0, 3),
+                    _slice(h_r[:], _AX, _HALO - 3, _HALO),
+                    c_r[:],
+                    _slice(H_r[:], _AX, 0, 3),
                 ],
                 axis=_AX,
             ),
@@ -562,27 +590,44 @@ def _whole_stage_kernel(
     def lift(f):  # y/z op on an (array, lo) pair: x extent preserved
         return lambda p, *args: (f(p[0], *args), p[1])
 
-    def make_emit(g_r):
+    def make_emit(acc_r):
         state = {"first": True}
 
         def emit(p, zero_walls=False):
             if zero_walls:
-                g_r[0] = o["zero_z_walls"](g_r[0])
+                acc_r[...] = o["zero_z_walls"](acc_r[...])
                 return
             term = center(p) if isinstance(p, tuple) else p
             if state["first"]:
-                g_r[0] = term
+                acc_r[...] = term
                 state["first"] = False
             else:
-                g_r[0] = g_r[0] + term
+                acc_r[...] = acc_r[...] + term
 
         return emit
 
-    U = ext(u_p, u_c, u_n)
-    V = ext(v_p, v_c, v_n)
-    W = ext(w_p, w_c, w_n)
-    B = ext(b_p, b_c, b_n)
-    PHY = ext(phy_p, phy_c, phy_n)
+    dt = dt_r[0]
+
+    def acc_for(name):
+        return g_out[name] if emit_g else f_out[name]
+
+    def rk_update(name, F):
+        """f' = center(F) + dt (gamma g + zeta g_prev); g is read back from
+        whichever ref the tendency accumulated into (matches the XLA RK
+        expression bit-for-bit up to the shared f32 contraction order)."""
+        upd = gamma * acc_for(name)[...]
+        if with_gprev:
+            upd = upd + zeta * gp[name][...]
+        f_out[name][...] = center(F) + dt * upd
+
+    U = ext(u_h, u_c, u_H)
+    V = ext(v_h, v_c, v_H)
+    W = ext(w_h, w_c, w_H)
+    B = ext(b_h, b_c, b_H)
+    # Hydrostatic anomaly pressure on the extended slab, straight from b —
+    # replaces the XLA _hydrostatic_pressure pass (same sum up to f32
+    # association: suffix sum by doubling shifts).
+    PHY = (_hydro(B[0], nz, dz, min_b), 0)
 
     def y_upwind(q, vel, m):
         a, b_, lo = _xa_align(q, vel)
@@ -593,37 +638,39 @@ def _whole_stage_kernel(
         return _z_upwind(a, b_, n_dst, split), lo
 
     # ---- u at (fx, cy, cz) -------------------------------------------------
-    emit = make_emit(gu_r)
+    emit = make_emit(acc_for("u"))
     u_cx = _xv_interp_f2c(U)
     emit(_xv_dd_c2f(_xa_mul(u_cx, _xv_upwind(U, u_cx, m=1)), dx))
     v_fxfy = _xv_interp_c2f(V)
     emit(lift(o["ddy_f2c"])(_xa_mul(v_fxfy, y_upwind(U, v_fxfy, m=0))))
     w_fx = _xv_interp_c2f(W)
     emit(lift(o["ddz_f2c"])(_xa_mul(w_fx, z_up(U, w_fx, n_dst=nz + 1, split=0))))
-    gu_r[0] = -gu_r[0]
+    acc_for("u")[...] = -acc_for("u")[...]
     emit(-center(_xv_dd_c2f(PHY, dx)))
-    Uc = (center(U), 3)  # x-center-cropped view for pure y/z terms
+    Uc = center(U)  # x-center-cropped view for pure y/z terms
     emit(nu * center(_xv_d2(U, dx)))
-    emit(nu * o["d2y"](Uc[0]))
-    emit(nu * o["d2z_value_bc"](Uc[0], 0.0, 0.0))
+    emit(nu * o["d2y"](Uc))
+    emit(nu * o["d2z_value_bc"](Uc, 0.0, 0.0))
+    rk_update("u", U)
 
     # ---- v at (cx, fy, cz) -------------------------------------------------
-    emit = make_emit(gv_r)
+    emit = make_emit(acc_for("v"))
     u_fxfy = lift(o["interp_c2f_y"])(U)
     emit(_xv_dd_f2c(_xa_mul(u_fxfy, _xv_upwind(V, u_fxfy, m=0)), dx))
     v_cy = lift(o["interp_f2c_y"])(V)
     emit(lift(o["ddy_c2f"])(_xa_mul(v_cy, y_upwind(V, v_cy, m=1))))
     w_fy = lift(o["interp_c2f_y"])(W)
     emit(lift(o["ddz_f2c"])(_xa_mul(w_fy, z_up(V, w_fy, n_dst=nz + 1, split=0))))
-    gv_r[0] = -gv_r[0]
+    acc_for("v")[...] = -acc_for("v")[...]
     emit(-o["ddy_c2f"](center(PHY)))
     Vc = center(V)
     emit(nu * center(_xv_d2(V, dx)))
     emit(nu * o["d2y"](Vc))
     emit(nu * o["d2z_value_bc"](Vc, 0.0, 0.0))
+    rk_update("v", V)
 
     # ---- w at (cx, cy, fz) -------------------------------------------------
-    emit = make_emit(gw_r)
+    emit = make_emit(acc_for("w"))
     u_fz = lift(o["interp_c2f_z_interior"])(U)
     emit(_xv_dd_f2c(_xa_mul(u_fz, _xv_upwind(W, u_fz, m=0)), dx))
     v_fz = lift(o["interp_c2f_z_interior"])(V)
@@ -632,23 +679,25 @@ def _whole_stage_kernel(
     emit(lift(o["ddz_c2f_interior"])(
         _xa_mul(w_cz, z_up(W, w_cz, n_dst=nz, split=1))
     ))
-    gw_r[0] = -gw_r[0]
+    acc_for("w")[...] = -acc_for("w")[...]
     Wc = center(W)
     emit(nu * center(_xv_d2(W, dx)))
     emit(nu * o["d2y"](Wc))
     emit(nu * o["d2z_face_interior"](Wc))
     emit(None, zero_walls=True)
+    rk_update("w", W)  # wall rows stay exactly 0: center(W), g, g_prev all 0
 
     # ---- buoyancy tracer ---------------------------------------------------
-    emit = make_emit(gb_r)
+    emit = make_emit(acc_for("b"))
     emit(_xv_dd_f2c(_xa_mul(U, _xv_upwind(B, U, m=0)), dx))
     emit(lift(o["ddy_f2c"])(_xa_mul(V, y_upwind(B, V, m=0))))
     emit(lift(o["ddz_f2c"])(_xa_mul(W, z_up(B, W, n_dst=nz + 1, split=0))))
-    gb_r[0] = -gb_r[0]
+    acc_for("b")[...] = -acc_for("b")[...]
     Bc = center(B)
     emit(kappa * center(_xv_d2(B, dx)))
     emit(kappa * o["d2y"](Bc))
-    emit(kappa * o["d2z_value_bc"](Bc, bot_c[0], min_b))
+    emit(kappa * o["d2z_value_bc"](Bc, bot_c[:], min_b))
+    rk_update("b", B)
 
 
 def _div_kernel(refs, *, dx, dy, dz):
@@ -742,7 +791,7 @@ def make_projection_glue_3d(
 
 
 @functools.lru_cache(maxsize=None)
-def make_whole_stage_3d(
+def make_stage_rk_3d(
     nx: int,
     ny: int,
     nz: int,
@@ -757,84 +806,111 @@ def make_whole_stage_3d(
     interpret: bool = False,
     vmem_limit_mb: int = 127,
 ):
-    """Build the x-blocked whole-stage tendency kernel.
+    """Build the three x-blocked fused RK3-stage kernels (hydrostatic
+    pressure, all four UB5 tendencies, and the RK field update in one
+    kernel per stage).
 
-    Returns ``stage(u, v, w, b, p_hy, bottom) -> (gu, gv, gw, gb)`` over
-    batch-minor (nx, nz[+1], ny, E) arrays (bottom is (nx, ny, E)); E must
-    divide by ``e_blk`` and nx by ``x_blk``."""
-    assert nx % x_blk == 0, (nx, x_blk)
+    Returns ``(stage0, stage1, stage2)`` over batch-minor (nx, nz[+1], ny,
+    E) arrays (bottom is (nx, ny, E)); E must divide by ``e_blk`` and nx by
+    ``x_blk`` (and by ``_HALO``):
+
+      stage0(u, v, w, b, bottom, dt)          -> (u', v', w', b', gu, gv, gw, gb)
+      stage1(u, v, w, b, bottom, dt, g_prev)  -> (u', v', w', b', gu, gv, gw, gb)
+      stage2(u, v, w, b, bottom, dt, g_prev)  -> (u', v', w', b')
+
+    The env lanes are blocked directly via the index map (no slab-stacking
+    relayout at the call boundary — lane blocks of 128 lower fine, see the
+    projection-glue kernels), the x halo comes from narrow ``_HALO``-wide
+    neighbor views, stage 0 takes no g_prev (zeta = 0) and stage 2 emits no
+    g (nothing consumes it: the next substep's stage 0 has zeta = 0)."""
+    assert nx % x_blk == 0 and x_blk % _HALO == 0, (nx, x_blk)
     nxb = nx // x_blk
-
-    kernel = functools.partial(
-        lambda *refs, **kw: _whole_stage_kernel(refs, **kw),
-        x_blk=x_blk, nz=nz, dx=dx, dy=dy, dz=dz,
-        nu=nu, kappa=kappa, min_b=min_b,
-    )
+    nxh = nx // _HALO
+    r = x_blk // _HALO
 
     single = pl.Buffered(buffer_count=1)
+    NKS = (nz, nz, nz + 1, nz)
 
     def views(n):
-        """prev/center/next BlockSpecs for one (slabs, nx, n, ny, e_blk) field."""
-        def spec(shift):
+        """halo-prev/center/halo-next BlockSpecs for one (nx, n, ny, E) field."""
+        def halo(shift):
             def index_map(s, i):
                 # np.int32 keeps the rem int32 under jax_enable_x64
-                return (s, jax.lax.rem(i + np.int32(shift + nxb), np.int32(nxb)), 0, 0, 0)
+                return (
+                    jax.lax.rem(i * np.int32(r) + np.int32(shift + nxh), np.int32(nxh)),
+                    0, 0, s,
+                )
             return pl.BlockSpec(
-                (1, x_blk, n, ny, e_blk), index_map,
+                (_HALO, n, ny, e_blk), index_map,
                 memory_space=pltpu.VMEM, pipeline_mode=single,
             )
-        return [spec(-1), spec(0), spec(1)]
+        return [halo(-1), center_spec(n), halo(r)]
 
-    in_specs = (
-        views(nz) + views(nz) + views(nz + 1) + views(nz)
-        + views(nz)
-        + [pl.BlockSpec((1, x_blk, ny, e_blk), lambda s, i: (s, i, 0, 0),
-                        memory_space=pltpu.VMEM, pipeline_mode=single)]
-    )
-
-    def out_spec(n):
+    def center_spec(n):
         return pl.BlockSpec(
-            (1, x_blk, n, ny, e_blk), lambda s, i: (s, i, 0, 0, 0),
+            (x_blk, n, ny, e_blk), lambda s, i: (i, 0, 0, s),
             memory_space=pltpu.VMEM, pipeline_mode=single,
         )
 
-    out_specs = [out_spec(nz), out_spec(nz), out_spec(nz + 1), out_spec(nz)]
+    bot_spec = pl.BlockSpec(
+        (x_blk, ny, e_blk), lambda s, i: (i, 0, s),
+        memory_space=pltpu.VMEM, pipeline_mode=single,
+    )
+    dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
     )
 
-    def _stack(q):
-        parts = q.reshape(q.shape[:-1] + (-1, e_blk))
-        return jnp.moveaxis(parts, -2, 0)
+    def build(m):
+        gamma, zeta = _RK3_GAMMA[m], _RK3_ZETA[m]
+        emit_g = m < 2
+        with_gprev = zeta != 0.0
+        kernel = functools.partial(
+            lambda *refs, **kw: _stage_rk_kernel(refs, **kw),
+            x_blk=x_blk, nz=nz, dx=dx, dy=dy, dz=dz,
+            nu=nu, kappa=kappa, min_b=min_b,
+            gamma=gamma, zeta=zeta, emit_g=emit_g,
+        )
+        in_specs = (
+            [dt_spec]
+            + views(nz) + views(nz) + views(nz + 1) + views(nz)
+            + [bot_spec]
+            + ([center_spec(n) for n in NKS] if with_gprev else [])
+        )
+        out_specs = (
+            [center_spec(n) for n in NKS] if emit_g else []
+        ) + [center_spec(n) for n in NKS]
 
-    def _unstack(q):
-        return jnp.moveaxis(q, 0, -2).reshape(q.shape[1:-1] + (-1,))
+        def stage(u, v, w, b, bottom, dt, g_prev=None):
+            e = u.shape[-1]
+            if e % e_blk:
+                raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+            dtype = u.dtype
+            field_shapes = [
+                jax.ShapeDtypeStruct((nx, n, ny, e), dtype) for n in NKS
+            ]
+            out_shape = (field_shapes if emit_g else []) + field_shapes
+            dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
+            args = [dt_arr, u, u, u, v, v, v, w, w, w, b, b, b, bottom]
+            if with_gprev:
+                args += list(g_prev)
+            outs = pl.pallas_call(
+                kernel,
+                grid=(e // e_blk, nxb),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                compiler_params=compiler_params,
+                interpret=interpret,
+            )(*args)
+            if emit_g:
+                return tuple(outs[4:]) + tuple(outs[:4])
+            return tuple(outs)
 
-    def stage(u, v, w, b, p_hy, bottom):
-        e = u.shape[-1]
-        if e % e_blk:
-            raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
-        n_slabs = e // e_blk
-        dtype = u.dtype
-        out_shape = [
-            jax.ShapeDtypeStruct((n_slabs, nx, n, ny, e_blk), dtype)
-            for n in (nz, nz, nz + 1, nz)
-        ]
-        us, vs, ws, bs, ps = (_stack(q) for q in (u, v, w, b, p_hy))
-        bot = _stack(bottom)
-        gu, gv, gw, gb = pl.pallas_call(
-            kernel,
-            grid=(n_slabs, nxb),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            compiler_params=compiler_params,
-            interpret=interpret,
-        )(us, us, us, vs, vs, vs, ws, ws, ws, bs, bs, bs, ps, ps, ps, bot)
-        return tuple(_unstack(g) for g in (gu, gv, gw, gb))
+        return stage
 
-    return stage
+    return build(0), build(1), build(2)
 
 
 @functools.lru_cache(maxsize=None)

@@ -281,12 +281,12 @@ def make_solver3d(
         fused = "field"
 
     _fused_tend = None
-    _stage_tend = None
+    _stage_rk = None
     _glue = None
     if fused == "stage":
-        from rbc_gym_tpu.ops.pallas3d import make_whole_stage_3d
+        from rbc_gym_tpu.ops.pallas3d import make_stage_rk_3d
 
-        _stage_tend = make_whole_stage_3d(
+        _stage_rk = make_stage_rk_3d(
             nx, ny, nz, dx, dy, dz,
             params.nu, params.kappa, min_b,
             x_blk=x_blk, e_blk=e_blk, interpret=fused_interpret,
@@ -310,6 +310,34 @@ def make_solver3d(
             e_blk=e_blk, interpret=fused_interpret,
         )
 
+    def substep_bm_stage(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
+        """Whole-stage fused path: each RK3 stage (hydrostatic pressure,
+        tendencies, RK update) is ONE Pallas kernel; only the spectral
+        Poisson solve (MXU matmuls) and its fused divergence/correction
+        glue run between kernels. The returned p_hy is STALE — env_step
+        refreshes it once after the substep scan."""
+        u, v, w, b = f.u, f.v, f.w, f.b
+        p_nhs = f.p_nhs
+        div_f, correct_f = _glue
+        g = None
+        for m in range(3):
+            gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
+            if m == 0:
+                u, v, w, b, *g = _stage_rk[0](u, v, w, b, bottom_b, dt)
+            elif m == 1:
+                u, v, w, b, *g = _stage_rk[1](u, v, w, b, bottom_b, dt, tuple(g))
+            else:
+                u, v, w, b = _stage_rk[2](u, v, w, b, bottom_b, dt, tuple(g))
+            # Fused projection glue: divergence and gradient-correction run
+            # as single-pass Pallas kernels; the Poisson solve is linear,
+            # so it acts on the UNSCALED divergence and dt_stage only enters
+            # the stored pressure (recovered at the final stage below).
+            q = poisson_bm(div_f(u, v, w))
+            u, v, w = correct_f(u, v, w, q)
+            if m == 2:
+                p_nhs = q / ((gamma + zeta) * dt)
+        return Fields3D(u, v, w, b, f.p_hy, p_nhs)
+
     def substep_bm_fused(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
         """Per-field Pallas tendency kernels; the RK update (pure
         elementwise — XLA fuses it to one pass), hydrostatic pressure,
@@ -321,15 +349,12 @@ def make_solver3d(
         for m in range(3):
             gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
             p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
-            if _stage_tend is not None:
-                g = _stage_tend(u, v, w, b, p_hy, bottom_b)
-            else:
-                g = (
-                    _fused_tend["u"](u, v, w, p_hy),
-                    _fused_tend["v"](u, v, w, p_hy),
-                    _fused_tend["w"](u, v, w),
-                    _fused_tend["b"](u, v, w, b, bottom_b),
-                )
+            g = (
+                _fused_tend["u"](u, v, w, p_hy),
+                _fused_tend["v"](u, v, w, p_hy),
+                _fused_tend["w"](u, v, w),
+                _fused_tend["b"](u, v, w, b, bottom_b),
+            )
             if m == 0:
                 u = u + dt * gamma * g[0]
                 v = v + dt * gamma * g[1]
@@ -342,10 +367,6 @@ def make_solver3d(
                 b = b + dt * (gamma * g[3] + zeta * g_prev[3])
             g_prev = g
             dt_stage = (gamma + zeta) * dt
-            # Fused projection glue: divergence and gradient-correction run
-            # as single-pass Pallas kernels; the Poisson solve is linear,
-            # so it acts on the UNSCALED divergence and dt_stage only enters
-            # the stored pressure (recovered at the final stage below).
             div_f, correct_f = _glue
             q = poisson_bm(div_f(u, v, w))
             u, v, w = correct_f(u, v, w, q)
@@ -371,10 +392,11 @@ def make_solver3d(
         bottom_bm = _bottom_bm(bottom, batch)
 
         dts_arr = jnp.asarray(dts, dtype)
-        if (
-            (_fused_tend is not None or _stage_tend is not None)
-            and fbm.u.shape[-1] % e_blk == 0
-        ):
+        fits = fbm.u.shape[-1] % e_blk == 0
+        if _stage_rk is not None and fits:
+            def body(carry, dt):
+                return substep_bm_stage(carry, bottom_bm, dt), None
+        elif _fused_tend is not None and fits:
             def body(carry, dt):
                 return substep_bm_fused(carry, bottom_bm, dt), None
         else:
@@ -382,6 +404,10 @@ def make_solver3d(
                 return substep_bm(carry, bottom_bm, dt), None
 
         fbm, _ = jax.lax.scan(body, fbm, dts_arr)
+        if _stage_rk is not None and fits:
+            # The stage path leaves p_hy stale inside the scan; one refresh
+            # here replaces 13 per-substep recomputes.
+            fbm = fbm._replace(p_hy=_hydrostatic_pressure(fbm.b, dz, min_b, Z))
         return Fields3D(*(_from_bm(q, batch) for q in fbm))
 
     def substep(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:

@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import numpy as np
 
-from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d, make_whole_stage_3d
+from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d, make_stage_rk_3d
 from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d_bm
 from rbc_gym_tpu.sim.grid import Grid3D
 from rbc_gym_tpu.sim.solver3d import SimParams3D, make_solver3d
@@ -59,8 +59,16 @@ def bench(name, fn, *args):
     return ms
 
 
-stage = make_whole_stage_3d(nx, ny, nz, dx, dy, dz, p.nu, p.kappa, p.min_b)
-bench("whole-stage kernel", lambda *a: stage(*a), u, v, w, b, phy, bot)
+stage0, stage1, stage2 = make_stage_rk_3d(
+    nx, ny, nz, dx, dy, dz, p.nu, p.kappa, p.min_b
+)
+dt0 = jnp.float32(0.001)
+bench("stage-RK kernel (m=0)", lambda *a: stage0(*a), u, v, w, b, bot, dt0)
+gp = stage0(u, v, w, b, bot, dt0)[4:]
+bench("stage-RK kernel (m=1)",
+      lambda *a: stage1(*a[:6], a[6:]), u, v, w, b, bot, dt0, *gp)
+bench("stage-RK kernel (m=2)",
+      lambda *a: stage2(*a[:6], a[6:]), u, v, w, b, bot, dt0, *gp)
 
 fk = {
     n: make_field_stage_3d(n, nx, ny, nz, dx, dy, dz, p.nu, p.kappa, p.min_b)
