@@ -57,22 +57,6 @@ def _pad_x(q, before: int, after: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else q
 
 
-def _upwind_x(q, vel, m: int):
-    """UB5 upwind reconstruction along periodic x (matches stencils._upwind_periodic)."""
-    n = q.shape[0]
-    before, after = 3 - m, 2 + m
-    p = _pad_x(q, before, after)
-
-    def tap(off):
-        o = before + m + off
-        return p[o : o + n]
-
-    t_m3, t_m2, t_m1 = tap(-3), tap(-2), tap(-1)
-    t_0, t_1, t_2 = tap(0), tap(1), tap(2)
-    left = (2 * t_m3 - 13 * t_m2 + 47 * t_m1 + 27 * t_0 - 3 * t_1) / 60
-    right = (2 * t_2 - 13 * t_1 + 47 * t_0 + 27 * t_m1 - 3 * t_m2) / 60
-    return jnp.where(vel > 0, left, right)
-
 
 def _stencil_fit_range(stencil, n_src: int) -> Tuple[int, int]:
     """Inclusive range of m for which every tap m+off lies in [0, n_src)."""
@@ -94,56 +78,95 @@ def _pad_z(q, before: int, after: int):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else q
 
 
-def _z_candidate(q, n_dst: int, split: int, stencil):
-    """Apply one z stencil at every destination row via fused sublane slices."""
-    p = _pad_z(q, 3, 3)
 
-    def tap(off):
-        s = 3 + split + off
-        return p[:, s : s + n_dst]
-
-    acc = None
-    for off, c in stencil:
-        term = c * tap(off)
-        acc = term if acc is None else acc + term
-    return acc
-
-
-def _z_row_mask(n_dst: int, lo_m: int, hi_m: int, split: int, shape):
-    """Boolean mask over z rows j where the stencil (at m = j + split) fits."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
-    return (rows >= lo_m - split) & (rows <= hi_m - split)
-
-
-def _z_upwind(q, vel, n_dst: int, split: int):
-    """Upwind-biased z reconstruction with UB5->UB3->UB1 wall order reduction.
-
-    Matches stencils._z_upwind exactly: per-row order is the highest whose
-    support fits; rows where not even UB1 fits read padded zeros and are
-    multiplied by an exactly-zero wall velocity downstream.
-    """
-    n_src = q.shape[1]
-    shape = (q.shape[0], n_dst, q.shape[2])
-
-    def pick(s5, s3, s1):
-        c5 = _z_candidate(q, n_dst, split, s5)
-        c3 = _z_candidate(q, n_dst, split, s3)
-        c1 = _z_candidate(q, n_dst, split, s1)
-        lo5, hi5 = _stencil_fit_range(s5, n_src)
-        lo3, hi3 = _stencil_fit_range(s3, n_src)
-        m5 = _z_row_mask(n_dst, lo5, hi5, split, shape)
-        m3 = _z_row_mask(n_dst, lo3, hi3, split, shape) & ~m5
-        return jnp.where(m5, c5, jnp.where(m3, c3, c1))
-
-    left = pick(_UB5_LEFT, _UB3_LEFT, _UB1_LEFT)
-    right = pick(_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT)
-    return jnp.where(vel > 0, left, right)
 
 
 def _zero_z_walls(q):
     mask = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=1)
     interior = (mask > 0) & (mask < q.shape[1] - 1)
     return jnp.where(interior, q, 0.0)
+
+
+def _c6_d5_flux(tap, vel):
+    """Upwind-biased 5th-order FLUX via the central-plus-dissipation
+    factorization: v * UB5(q, v) = v * C6(q) - |v| * D5(q)/60 — one 6-tap
+    stencil pair instead of two 5-tap branches plus selects (taps at
+    offsets -3..2 around the face); equal to the select form up to f32
+    summation order (see ops/pallas3d._c6_d5_flux)."""
+    c6 = (
+        (37.0 / 60.0) * (tap(0) + tap(-1))
+        - (8.0 / 60.0) * (tap(1) + tap(-2))
+        + (1.0 / 60.0) * (tap(2) + tap(-3))
+    )
+    d5 = (
+        (10.0 / 60.0) * (tap(0) - tap(-1))
+        - (5.0 / 60.0) * (tap(1) - tap(-2))
+        + (1.0 / 60.0) * (tap(2) - tap(-3))
+    )
+    return vel * c6 - jnp.abs(vel) * d5
+
+
+def _uw_flux_x(q, vel, m: int):
+    """vel * _upwind_x(q, vel, m) in flux form."""
+    n = q.shape[0]
+    before = 3 - m
+    p = _pad_x(q, before, 2 + m)
+
+    def tap(off):
+        o = before + m + off
+        return p[o : o + n]
+
+    return _c6_d5_flux(tap, vel)
+
+
+def _z_row_flux(p, vel, j, split, n_src):
+    """One output row of the wall ladder (per-side first-fitting candidate,
+    the stencils._z_upwind rule) on a single sublane row slice."""
+    m = j + split
+    v = vel[:, j : j + 1]
+
+    def first_fit(cands):
+        for st_ in cands[:-1]:
+            lo, hi = _stencil_fit_range(st_, n_src)
+            if lo <= m <= hi:
+                return st_
+        return cands[-1]
+
+    def cand(st_):
+        acc = None
+        for off, c in st_:
+            t = c * p[:, 3 + m + off : 3 + m + off + 1]
+            acc = t if acc is None else acc + t
+        return acc
+
+    left = cand(first_fit((_UB5_LEFT, _UB3_LEFT, _UB1_LEFT)))
+    right = cand(first_fit((_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT)))
+    return v * jnp.where(v > 0, left, right)
+
+
+def _z_uw_flux(q, vel, n_dst: int, split: int):
+    """vel * _z_upwind(q, vel, n_dst, split) in flux form: interior rows
+    (both-side UB5 fits) in one C6 - |v| D5 pass, wall rows patched via
+    narrow sublane slices instead of six full-slab candidates + masks."""
+    n_src = q.shape[1]
+    p = _pad_z(q, 3, 3)
+    lo_j = max(0, 3 - split)
+    hi_j = min(n_dst - 1, n_src - 3 - split)  # inclusive
+
+    rows = [_z_row_flux(p, vel, j, split, n_src) for j in range(0, lo_j)]
+    if hi_j >= lo_j:
+        n_int = hi_j - lo_j + 1
+        v_int = vel[:, lo_j : lo_j + n_int]
+
+        def tap(off):
+            s = 3 + split + off + lo_j
+            return p[:, s : s + n_int]
+
+        rows.append(_c6_d5_flux(tap, v_int))
+    rows += [
+        _z_row_flux(p, vel, j, split, n_src) for j in range(hi_j + 1, n_dst)
+    ]
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -214,11 +237,11 @@ def _tendencies(u, w, b, p_hy, bottom, *, nu, kappa, min_b, dx, dz):
 
     # ---- u momentum --------------------------------------------------------
     u_c = o["interp_f2c_x"](u)
-    flux_uu = u_c * _upwind_x(u, u_c, m=1)
+    flux_uu = _uw_flux_x(u, u_c, m=1)
     adv_u = o["ddx_c2f"](flux_uu)
 
     w_xf = o["interp_c2f_x"](w)
-    flux_wu = w_xf * _z_upwind(u, w_xf, n_dst=nz + 1, split=0)
+    flux_wu = _z_uw_flux(u, w_xf, n_dst=nz + 1, split=0)
     adv_u = adv_u + o["ddz_f2c"](flux_wu)
 
     dphy_dx = o["ddx_c2f"](p_hy)
@@ -227,20 +250,20 @@ def _tendencies(u, w, b, p_hy, bottom, *, nu, kappa, min_b, dx, dz):
 
     # ---- w momentum (buoyancy absorbed into pHY') --------------------------
     u_zf = o["interp_c2f_z_interior"](u)
-    flux_uw = u_zf * _upwind_x(w, u_zf, m=0)
+    flux_uw = _uw_flux_x(w, u_zf, m=0)
     adv_w = o["ddx_f2c"](flux_uw)
 
     w_c = o["interp_f2c_z"](w)
-    flux_ww = w_c * _z_upwind(w, w_c, n_dst=nz, split=1)
+    flux_ww = _z_uw_flux(w, w_c, n_dst=nz, split=1)
     adv_w = adv_w + o["ddz_c2f_interior"](flux_ww)
 
     lap_w = o["d2x"](w) + o["d2z_face_interior"](w)
     gw = _zero_z_walls(-adv_w + nu * lap_w)
 
     # ---- buoyancy tracer ---------------------------------------------------
-    flux_ub = u * _upwind_x(b, u, m=0)
+    flux_ub = _uw_flux_x(b, u, m=0)
     adv_b = o["ddx_f2c"](flux_ub)
-    flux_wb = w * _z_upwind(b, w, n_dst=nz + 1, split=0)
+    flux_wb = _z_uw_flux(b, w, n_dst=nz + 1, split=0)
     adv_b = adv_b + o["ddz_f2c"](flux_wb)
 
     lap_b = o["d2x"](b) + o["d2z_value_bc"](b, bottom, min_b)

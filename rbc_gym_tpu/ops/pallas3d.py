@@ -168,6 +168,93 @@ def _z_upwind(q, vel, n_dst, split):
     return jnp.where(vel > 0, out, pick("right"))
 
 
+def _c6_d5_flux(tap, vel):
+    """Upwind-biased 5th-order FLUX via the central-plus-dissipation
+    factorization: UB5(q, v) = C6(q) - sign(v) * D5(q)/60, so
+    v * UB5 = v * C6 - |v| * D5/60 — one 6-tap stencil pair instead of two
+    5-tap branches plus selects (taps at offsets -3..2 around the face).
+
+    Algebra check against stencils._UB5_LEFT/(RIGHT): C6 -(+) D5/60 =
+    (2,-13,47,27,-3,0)/60 ((0,-3,27,47,-13,2)/60)."""
+    s0 = tap(0) + tap(-1)
+    s1 = tap(1) + tap(-2)
+    s2 = tap(2) + tap(-3)
+    c6 = (37.0 / 60.0) * s0 - (8.0 / 60.0) * s1 + (1.0 / 60.0) * s2
+    d0 = tap(0) - tap(-1)
+    d1 = tap(1) - tap(-2)
+    d2 = tap(2) - tap(-3)
+    d5 = (10.0 / 60.0) * d0 - (5.0 / 60.0) * d1 + (1.0 / 60.0) * d2
+    return vel * c6 - jnp.abs(vel) * d5
+
+
+def _uw_flux_periodic(q, vel, axis, m):
+    """vel * UB5-reconstruction along a periodic axis in flux form; matches
+    vel * _upwind_periodic(q, vel, axis, m) up to f32 summation order."""
+    n = q.shape[axis]
+    before = 3 - m
+    p = _pad_periodic(q, axis, before, 2 + m)
+
+    def tap(off):
+        o = before + m + off
+        return _slice(p, axis, o, o + n)
+
+    return _c6_d5_flux(tap, vel)
+
+
+def _z_row_flux(p, vel, j, split, n_src):
+    """One output row of the wall ladder: per-side first-fitting candidate
+    (UB5 -> UB3 -> UB1, UB1 as zero-padded fallback), exactly the
+    stencils._z_upwind rule, evaluated on a single z row slice."""
+    m = j + split
+    v = _slice(vel, _AZ, j, j + 1)
+
+    def first_fit(cands):
+        for st_ in cands[:-1]:
+            lo, hi = _stencil_fit_range(st_, n_src)
+            if lo <= m <= hi:
+                return st_
+        return cands[-1]
+
+    def cand(st_):
+        acc = None
+        for off, c in st_:
+            t = c * _slice(p, _AZ, 3 + m + off, 3 + m + off + 1)
+            acc = t if acc is None else acc + t
+        return acc
+
+    left = cand(first_fit((_UB5_LEFT, _UB3_LEFT, _UB1_LEFT)))
+    right = cand(first_fit((_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT)))
+    return v * jnp.where(v > 0, left, right)
+
+
+def _z_uw_flux(q, vel, n_dst, split):
+    """vel * upwind z reconstruction in flux form with UB5->UB3->UB1 wall
+    order reduction; row-for-row equal to vel * _z_upwind(q, vel, ...) up
+    to f32 summation order. Interior rows (both-side UB5 fits:
+    m = j + split in [3, n_src-3]) use the C6 - |v| D5 factorization in one
+    full-width pass; the few wall rows are patched via narrow row slices
+    (1/nz of the slab each) instead of full-slab candidates + masks."""
+    n_src = q.shape[_AZ]
+    p = _pad_zeros(q, _AZ, 3, 3)
+    lo_j = max(0, 3 - split)
+    hi_j = min(n_dst - 1, n_src - 3 - split)  # inclusive
+
+    rows = [_z_row_flux(p, vel, j, split, n_src) for j in range(0, lo_j)]
+    if hi_j >= lo_j:
+        n_int = hi_j - lo_j + 1
+        v_int = _slice(vel, _AZ, lo_j, lo_j + n_int)
+
+        def tap(off):
+            s = 3 + split + off + lo_j
+            return _slice(p, _AZ, s, s + n_int)
+
+        rows.append(_c6_d5_flux(tap, v_int))
+    rows += [
+        _z_row_flux(p, vel, j, split, n_src) for j in range(hi_j + 1, n_dst)
+    ]
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=_AZ)
+
+
 def _make_grid_ops(dx: float, dy: float, dz: float):
     """Staggered-grid helpers on (nx, nz[+1], ny, E) arrays."""
 
@@ -456,6 +543,11 @@ def _xa_mul(p, q):
     return a * b, lo
 
 
+def _xa_sub(p, q):
+    a, b, lo = _xa_align(p, q)
+    return a - b, lo
+
+
 def _xv_dd_c2f(p, d):  # out[i] = (q[i] - q[i-1]) / d
     a, lo = p
     return (_slice(a, _AX, 1, a.shape[0]) - _slice(a, _AX, 0, a.shape[0] - 1)) / d, lo + 1
@@ -517,6 +609,22 @@ def _xv_upwind(p, vel, m):
     return jnp.where(v > 0, out, right), out_lo
 
 
+def _xv_uw_flux(p, vel, m):
+    """vel * UB5 x reconstruction in valid mode, flux form (see
+    _c6_d5_flux); replaces _xa_mul(vel, _xv_upwind(p, vel, m))."""
+    a, lo = p
+    n_out = a.shape[0] - 5
+    out_lo = lo + 3 - m
+
+    def tap(off):
+        s = 3 + off
+        return _slice(a, _AX, s, s + n_out)
+
+    va, lv = vel
+    v = _slice(va, _AX, out_lo - lv, out_lo - lv + n_out)
+    return _c6_d5_flux(tap, v), out_lo
+
+
 _HALO = 4  # x width of the prev/next halo view blocks (UB5 needs 3 columns)
 
 
@@ -536,68 +644,86 @@ def _stage_rk_kernel(
     emit_g: bool,
 ):
     """One full RK3 stage for one (env-slab, x-block) grid step: in-kernel
-    hydrostatic pressure from b, all four UB5 tendencies, and the RK field
-    update f' = f + dt (gamma g + zeta g_prev).
+    pressure correction of the previous stage's fields (lazy projection),
+    hydrostatic pressure from b, all four UB5 tendencies, the RK field
+    update f* = f + dt (gamma g + zeta g_prev), and the divergence of the
+    updated fields for the next Poisson solve.
 
     refs: dt (SMEM), u_h,u_c,u_H, v_h,v_c,v_H, w_h,w_c,w_H, b_h,b_c,b_H,
-          bot_c, [gp_u,gp_v,gp_w,gp_b when zeta != 0], then outputs
-          [gu,gv,gw,gb when emit_g] + u',v',w',b'.  The _h/_H views are
+          q_h,q_c,q_H, bot_c, [gp_u,gp_v,gp_w,gp_b,gp_u_edge when
+          zeta != 0], then outputs [gu,gv,gw,gb when emit_g] +
+          u*,v*,w*,b' + div, then the gu scratch.  The _h/_H views are
     narrow (_HALO-wide) blocks adjacent to the center block (periodic
     modulo in the index map), so each field is read ~2x per stage instead
     of the 3x that full-width prev/next views cost.
 
+    Lazy-projection contract (replaces the div/correct glue kernels): the
+    incoming u,v,w are the UNPROJECTED previous-stage fields and ``q`` is
+    the Poisson solve of their divergence; the kernel applies
+    u -= grad(q) on the extended slabs before the tendencies (exactly the
+    correction the glue kernel applied, so values match bit-for-bit) and
+    emits div(u*,v*,w*) so the caller only runs the MXU Poisson solve
+    between stages. Because the u* divergence needs u* at the right block
+    face, the u tendency is accumulated one column wider (x_blk+1) in a
+    scratch ref; the g_prev value at that face comes from the 1-wide
+    ``gp_u_edge`` view of the previous stage's gu output.
+
     When emit_g is False (the final stage: no later stage consumes g) the
-    tendency accumulates directly into the field-output ref and is finished
-    in place by the affine RK update. Every term still lands in a ref write
-    (ordering barriers bound Mosaic register pressure, see
+    v/w/b tendencies accumulate directly into the field-output refs and
+    are finished in place by the affine RK update. Every term still lands
+    in a ref write (ordering barriers bound Mosaic register pressure, see
     _field_stage_kernel)."""
     o = _make_grid_ops(dx, dy, dz)
     refs = list(refs)
     dt_r = refs.pop(0)
     (u_h, u_c, u_H, v_h, v_c, v_H, w_h, w_c, w_H,
-     b_h, b_c, b_H, bot_c) = refs[:13]
-    rest = refs[13:]
+     b_h, b_c, b_H, q_h, q_c, q_H, bot_c) = refs[:16]
+    rest = refs[16:]
     with_gprev = zeta != 0.0
     gp = {}
     if with_gprev:
-        gp["u"], gp["v"], gp["w"], gp["b"] = rest[:4]
-        rest = rest[4:]
+        gp["u"], gp["v"], gp["w"], gp["b"], gp["u_edge"] = rest[:5]
+        rest = rest[5:]
     g_out = {}
     if emit_g:
         g_out["u"], g_out["v"], g_out["w"], g_out["b"] = rest[:4]
         rest = rest[4:]
-    f_out = dict(zip("uvwb", rest))
+    f_out = dict(zip("uvwb", rest[:4]))
+    div_r = rest[4]
+    gu_scr = rest[5]
 
-    def ext(h_r, c_r, H_r):
-        """(x_blk+6, nk, ny, E) extended slab; element 0 at ext coord 0."""
+    def ext(h_r, c_r, H_r, right=3):
+        """(x_blk+3+right, nk, ny, E) extended slab; ext coord 0 = real -3."""
         return (
             jnp.concatenate(
                 [
                     _slice(h_r[:], _AX, _HALO - 3, _HALO),
                     c_r[:],
-                    _slice(H_r[:], _AX, 0, 3),
+                    _slice(H_r[:], _AX, 0, right),
                 ],
                 axis=_AX,
             ),
             0,
         )
 
-    def center(p):
+    def centerN(p, n_out=x_blk):
         a, lo = p
         s = 3 - lo
-        return _slice(a, _AX, s, s + x_blk)
+        return _slice(a, _AX, s, s + n_out)
+
+    center = centerN
 
     def lift(f):  # y/z op on an (array, lo) pair: x extent preserved
         return lambda p, *args: (f(p[0], *args), p[1])
 
-    def make_emit(acc_r):
+    def make_emit(acc_r, width=x_blk):
         state = {"first": True}
 
         def emit(p, zero_walls=False):
             if zero_walls:
                 acc_r[...] = o["zero_z_walls"](acc_r[...])
                 return
-            term = center(p) if isinstance(p, tuple) else p
+            term = centerN(p, width) if isinstance(p, tuple) else p
             if state["first"]:
                 acc_r[...] = term
                 state["first"] = False
@@ -609,10 +735,12 @@ def _stage_rk_kernel(
     dt = dt_r[0]
 
     def acc_for(name):
+        if name == "u":
+            return gu_scr
         return g_out[name] if emit_g else f_out[name]
 
     def rk_update(name, F):
-        """f' = center(F) + dt (gamma g + zeta g_prev); g is read back from
+        """f* = center(F) + dt (gamma g + zeta g_prev); g is read back from
         whichever ref the tendency accumulated into (matches the XLA RK
         expression bit-for-bit up to the shared f32 contraction order)."""
         upd = gamma * acc_for(name)[...]
@@ -620,47 +748,59 @@ def _stage_rk_kernel(
             upd = upd + zeta * gp[name][...]
         f_out[name][...] = center(F) + dt * upd
 
-    U = ext(u_h, u_c, u_H)
-    V = ext(v_h, v_c, v_H)
-    W = ext(w_h, w_c, w_H)
+    # Pressure correction of the previous stage's unprojected fields:
+    # u -= ddx(q), v -= ddy(q), w -= ddz_interior(q). q is the solve of the
+    # UNSCALED divergence, so no dt factor appears (see make_projection_glue).
+    Q = (jnp.concatenate([q_h[:], q_c[:], q_H[:]], axis=_AX), -1)
+    U = _xa_sub(ext(u_h, u_c, u_H, right=4), _xv_dd_c2f(Q, dx))
+    V = _xa_sub(ext(v_h, v_c, v_H), lift(o["ddy_c2f"])(Q))
+    W = _xa_sub(ext(w_h, w_c, w_H), lift(o["ddz_c2f_interior"])(Q))
     B = ext(b_h, b_c, b_H)
     # Hydrostatic anomaly pressure on the extended slab, straight from b —
     # replaces the XLA _hydrostatic_pressure pass (same sum up to f32
     # association: suffix sum by doubling shifts).
     PHY = (_hydro(B[0], nz, dz, min_b), 0)
 
-    def y_upwind(q, vel, m):
+    def y_flux(q, vel, m):
         a, b_, lo = _xa_align(q, vel)
-        return _upwind_periodic(a, b_, _AY, m), lo
+        return _uw_flux_periodic(a, b_, _AY, m), lo
 
-    def z_up(q, vel, n_dst, split):
+    def z_flux(q, vel, n_dst, split):
         a, b_, lo = _xa_align(q, vel)
-        return _z_upwind(a, b_, n_dst, split), lo
+        return _z_uw_flux(a, b_, n_dst, split), lo
 
-    # ---- u at (fx, cy, cz) -------------------------------------------------
-    emit = make_emit(acc_for("u"))
+    # ---- u at (fx, cy, cz), one extra column for the div of u* -------------
+    emit = make_emit(gu_scr, width=x_blk + 1)
     u_cx = _xv_interp_f2c(U)
-    emit(_xv_dd_c2f(_xa_mul(u_cx, _xv_upwind(U, u_cx, m=1)), dx))
+    emit(_xv_dd_c2f(_xv_uw_flux(U, u_cx, m=1), dx))
     v_fxfy = _xv_interp_c2f(V)
-    emit(lift(o["ddy_f2c"])(_xa_mul(v_fxfy, y_upwind(U, v_fxfy, m=0))))
+    emit(lift(o["ddy_f2c"])(y_flux(U, v_fxfy, m=0)))
     w_fx = _xv_interp_c2f(W)
-    emit(lift(o["ddz_f2c"])(_xa_mul(w_fx, z_up(U, w_fx, n_dst=nz + 1, split=0))))
-    acc_for("u")[...] = -acc_for("u")[...]
-    emit(-center(_xv_dd_c2f(PHY, dx)))
-    Uc = center(U)  # x-center-cropped view for pure y/z terms
-    emit(nu * center(_xv_d2(U, dx)))
-    emit(nu * o["d2y"](Uc))
-    emit(nu * o["d2z_value_bc"](Uc, 0.0, 0.0))
-    rk_update("u", U)
+    emit(lift(o["ddz_f2c"])(z_flux(U, w_fx, n_dst=nz + 1, split=0)))
+    gu_scr[...] = -gu_scr[...]
+    emit(-centerN(_xv_dd_c2f(PHY, dx), x_blk + 1))
+    Ucp = centerN(U, x_blk + 1)  # x-cropped view for pure y/z terms
+    emit(nu * centerN(_xv_d2(U, dx), x_blk + 1))
+    emit(nu * o["d2y"](Ucp))
+    emit(nu * o["d2z_value_bc"](Ucp, 0.0, 0.0))
+    upd = gamma * gu_scr[...]
+    if with_gprev:
+        upd = upd + zeta * jnp.concatenate(
+            [gp["u"][...], gp["u_edge"][...]], axis=_AX
+        )
+    u_new = Ucp + dt * upd  # (x_blk+1)-wide updated u*
+    f_out["u"][...] = _slice(u_new, _AX, 0, x_blk)
+    if emit_g:
+        g_out["u"][...] = _slice(gu_scr[...], _AX, 0, x_blk)
 
     # ---- v at (cx, fy, cz) -------------------------------------------------
     emit = make_emit(acc_for("v"))
     u_fxfy = lift(o["interp_c2f_y"])(U)
-    emit(_xv_dd_f2c(_xa_mul(u_fxfy, _xv_upwind(V, u_fxfy, m=0)), dx))
+    emit(_xv_dd_f2c(_xv_uw_flux(V, u_fxfy, m=0), dx))
     v_cy = lift(o["interp_f2c_y"])(V)
-    emit(lift(o["ddy_c2f"])(_xa_mul(v_cy, y_upwind(V, v_cy, m=1))))
+    emit(lift(o["ddy_c2f"])(y_flux(V, v_cy, m=1)))
     w_fy = lift(o["interp_c2f_y"])(W)
-    emit(lift(o["ddz_f2c"])(_xa_mul(w_fy, z_up(V, w_fy, n_dst=nz + 1, split=0))))
+    emit(lift(o["ddz_f2c"])(z_flux(V, w_fy, n_dst=nz + 1, split=0)))
     acc_for("v")[...] = -acc_for("v")[...]
     emit(-o["ddy_c2f"](center(PHY)))
     Vc = center(V)
@@ -672,12 +812,12 @@ def _stage_rk_kernel(
     # ---- w at (cx, cy, fz) -------------------------------------------------
     emit = make_emit(acc_for("w"))
     u_fz = lift(o["interp_c2f_z_interior"])(U)
-    emit(_xv_dd_f2c(_xa_mul(u_fz, _xv_upwind(W, u_fz, m=0)), dx))
+    emit(_xv_dd_f2c(_xv_uw_flux(W, u_fz, m=0), dx))
     v_fz = lift(o["interp_c2f_z_interior"])(V)
-    emit(lift(o["ddy_f2c"])(_xa_mul(v_fz, y_upwind(W, v_fz, m=0))))
+    emit(lift(o["ddy_f2c"])(y_flux(W, v_fz, m=0)))
     w_cz = lift(o["interp_f2c_z"])(W)
     emit(lift(o["ddz_c2f_interior"])(
-        _xa_mul(w_cz, z_up(W, w_cz, n_dst=nz, split=1))
+        z_flux(W, w_cz, n_dst=nz, split=1)
     ))
     acc_for("w")[...] = -acc_for("w")[...]
     Wc = center(W)
@@ -689,15 +829,24 @@ def _stage_rk_kernel(
 
     # ---- buoyancy tracer ---------------------------------------------------
     emit = make_emit(acc_for("b"))
-    emit(_xv_dd_f2c(_xa_mul(U, _xv_upwind(B, U, m=0)), dx))
-    emit(lift(o["ddy_f2c"])(_xa_mul(V, y_upwind(B, V, m=0))))
-    emit(lift(o["ddz_f2c"])(_xa_mul(W, z_up(B, W, n_dst=nz + 1, split=0))))
+    emit(_xv_dd_f2c(_xv_uw_flux(B, U, m=0), dx))
+    emit(lift(o["ddy_f2c"])(y_flux(B, V, m=0)))
+    emit(lift(o["ddz_f2c"])(z_flux(B, W, n_dst=nz + 1, split=0)))
     acc_for("b")[...] = -acc_for("b")[...]
     Bc = center(B)
     emit(kappa * center(_xv_d2(B, dx)))
     emit(kappa * o["d2y"](Bc))
     emit(kappa * o["d2z_value_bc"](Bc, bot_c[:], min_b))
     rk_update("b", B)
+
+    # ---- divergence of the updated (unprojected) fields for the next
+    # Poisson solve: ddx needs u* at the right block face, which is the
+    # extra column carried in u_new; v*/w* wrap in-sublane (full ny/nz).
+    div_r[...] = (
+        centerN(_xv_dd_f2c((u_new, 3), dx), x_blk)
+        + o["ddy_f2c"](f_out["v"][...])
+        + o["ddz_f2c"](f_out["w"][...])
+    )
 
 
 def _div_kernel(refs, *, dx, dy, dz):
@@ -806,17 +955,23 @@ def make_stage_rk_3d(
     interpret: bool = False,
     vmem_limit_mb: int = 127,
 ):
-    """Build the three x-blocked fused RK3-stage kernels (hydrostatic
-    pressure, all four UB5 tendencies, and the RK field update in one
-    kernel per stage).
+    """Build the three x-blocked fused lazy-projection RK3-stage kernels
+    (in-kernel pressure correction, hydrostatic pressure, all four UB5
+    tendencies, the RK field update, and the updated-field divergence in
+    one kernel per stage).
 
     Returns ``(stage0, stage1, stage2)`` over batch-minor (nx, nz[+1], ny,
     E) arrays (bottom is (nx, ny, E)); E must divide by ``e_blk`` and nx by
-    ``x_blk`` (and by ``_HALO``):
+    ``x_blk`` (and by ``_HALO``). ``q`` is the Poisson solve of the
+    previous stage's emitted div (zeros at the first stage of an env step):
 
-      stage0(u, v, w, b, bottom, dt)          -> (u', v', w', b', gu, gv, gw, gb)
-      stage1(u, v, w, b, bottom, dt, g_prev)  -> (u', v', w', b', gu, gv, gw, gb)
-      stage2(u, v, w, b, bottom, dt, g_prev)  -> (u', v', w', b')
+      stage0(u*, v*, w*, b, q, bottom, dt)         -> (u*, v*, w*, b', div, gu, gv, gw, gb)
+      stage1(u*, v*, w*, b, q, bottom, dt, g_prev) -> (u*, v*, w*, b', div, gu, gv, gw, gb)
+      stage2(u*, v*, w*, b, q, bottom, dt, g_prev) -> (u*, v*, w*, b', div)
+
+    The returned velocities are UNPROJECTED (u* = u + dt(...)); the next
+    stage applies the correction in-kernel, and the caller materializes
+    the final correction once per env step (see solver3d).
 
     The env lanes are blocked directly via the index map (no slab-stacking
     relayout at the call boundary — lane blocks of 128 lower fine, see the
@@ -856,6 +1011,16 @@ def make_stage_rk_3d(
         (x_blk, ny, e_blk), lambda s, i: (i, 0, s),
         memory_space=pltpu.VMEM, pipeline_mode=single,
     )
+    # 1-wide view of the previous stage's gu at this block's right face
+    # (element column ((i+1)*x_blk) % nx), feeding the div's u* edge.
+    gu_edge_spec = pl.BlockSpec(
+        (1, nz, ny, e_blk),
+        lambda s, i: (
+            jax.lax.rem((i + np.int32(1)) * np.int32(x_blk), np.int32(nx)),
+            0, 0, s,
+        ),
+        memory_space=pltpu.VMEM, pipeline_mode=single,
+    )
     dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -875,14 +1040,19 @@ def make_stage_rk_3d(
         in_specs = (
             [dt_spec]
             + views(nz) + views(nz) + views(nz + 1) + views(nz)
+            + views(nz)  # q
             + [bot_spec]
-            + ([center_spec(n) for n in NKS] if with_gprev else [])
+            + (
+                [center_spec(n) for n in NKS] + [gu_edge_spec]
+                if with_gprev
+                else []
+            )
         )
         out_specs = (
             [center_spec(n) for n in NKS] if emit_g else []
-        ) + [center_spec(n) for n in NKS]
+        ) + [center_spec(n) for n in NKS] + [center_spec(nz)]
 
-        def stage(u, v, w, b, bottom, dt, g_prev=None):
+        def stage(u, v, w, b, q, bottom, dt, g_prev=None):
             e = u.shape[-1]
             if e % e_blk:
                 raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
@@ -890,11 +1060,15 @@ def make_stage_rk_3d(
             field_shapes = [
                 jax.ShapeDtypeStruct((nx, n, ny, e), dtype) for n in NKS
             ]
-            out_shape = (field_shapes if emit_g else []) + field_shapes
+            div_shape = jax.ShapeDtypeStruct((nx, nz, ny, e), dtype)
+            out_shape = (
+                (field_shapes if emit_g else []) + field_shapes + [div_shape]
+            )
             dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-            args = [dt_arr, u, u, u, v, v, v, w, w, w, b, b, b, bottom]
+            args = [dt_arr, u, u, u, v, v, v, w, w, w, b, b, b, q, q, q,
+                    bottom]
             if with_gprev:
-                args += list(g_prev)
+                args += list(g_prev) + [g_prev[0]]
             outs = pl.pallas_call(
                 kernel,
                 grid=(e // e_blk, nxb),
@@ -903,6 +1077,9 @@ def make_stage_rk_3d(
                 out_shape=out_shape,
                 compiler_params=compiler_params,
                 interpret=interpret,
+                scratch_shapes=[
+                    pltpu.VMEM((x_blk + 1, nz, ny, e_blk), jnp.float32)
+                ],
             )(*args)
             if emit_g:
                 return tuple(outs[4:]) + tuple(outs[:4])

@@ -311,32 +311,23 @@ def make_solver3d(
         )
 
     def substep_bm_stage(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
-        """Whole-stage fused path: each RK3 stage (hydrostatic pressure,
-        tendencies, RK update) is ONE Pallas kernel; only the spectral
-        Poisson solve (MXU matmuls) and its fused divergence/correction
-        glue run between kernels. The returned p_hy is STALE — env_step
-        refreshes it once after the substep scan."""
-        u, v, w, b = f.u, f.v, f.w, f.b
-        p_nhs = f.p_nhs
-        div_f, correct_f = _glue
-        g = None
-        for m in range(3):
-            gamma, zeta = RK3_GAMMA[m], RK3_ZETA[m]
-            if m == 0:
-                u, v, w, b, *g = _stage_rk[0](u, v, w, b, bottom_b, dt)
-            elif m == 1:
-                u, v, w, b, *g = _stage_rk[1](u, v, w, b, bottom_b, dt, tuple(g))
-            else:
-                u, v, w, b = _stage_rk[2](u, v, w, b, bottom_b, dt, tuple(g))
-            # Fused projection glue: divergence and gradient-correction run
-            # as single-pass Pallas kernels; the Poisson solve is linear,
-            # so it acts on the UNSCALED divergence and dt_stage only enters
-            # the stored pressure (recovered at the final stage below).
-            q = poisson_bm(div_f(u, v, w))
-            u, v, w = correct_f(u, v, w, q)
-            if m == 2:
-                p_nhs = q / ((gamma + zeta) * dt)
-        return Fields3D(u, v, w, b, f.p_hy, p_nhs)
+        """Lazy-projection fused path: each RK3 stage (in-kernel pressure
+        correction of the previous stage's fields, hydrostatic pressure,
+        tendencies, RK update, divergence of the updated fields) is ONE
+        Pallas kernel; only the spectral Poisson solve (MXU matmuls) runs
+        between kernels. The carried velocities are UNPROJECTED with the
+        pending Poisson solve ``q`` riding in the p_nhs slot (UNSCALED:
+        the solve is linear, so dt_stage only enters the stored pressure,
+        recovered by env_step's final materializing correction); p_hy is
+        STALE inside the scan — env_step refreshes it once afterwards."""
+        u, v, w, b, q = f.u, f.v, f.w, f.b, f.p_nhs
+        u, v, w, b, div, *g = _stage_rk[0](u, v, w, b, q, bottom_b, dt)
+        q = poisson_bm(div)
+        u, v, w, b, div, *g = _stage_rk[1](u, v, w, b, q, bottom_b, dt, tuple(g))
+        q = poisson_bm(div)
+        u, v, w, b, div = _stage_rk[2](u, v, w, b, q, bottom_b, dt, tuple(g))
+        q = poisson_bm(div)
+        return Fields3D(u, v, w, b, f.p_hy, q)
 
     def substep_bm_fused(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
         """Per-field Pallas tendency kernels; the RK update (pure
@@ -396,6 +387,11 @@ def make_solver3d(
         if _stage_rk is not None and fits:
             def body(carry, dt):
                 return substep_bm_stage(carry, bottom_bm, dt), None
+
+            # The lazy-projection carry rides the pending (unscaled)
+            # Poisson solve in the p_nhs slot; the incoming fields are
+            # already projected, so it starts at zero.
+            fbm = fbm._replace(p_nhs=jnp.zeros_like(fbm.p_nhs))
         elif _fused_tend is not None and fits:
             def body(carry, dt):
                 return substep_bm_fused(carry, bottom_bm, dt), None
@@ -405,9 +401,19 @@ def make_solver3d(
 
         fbm, _ = jax.lax.scan(body, fbm, dts_arr)
         if _stage_rk is not None and fits:
-            # The stage path leaves p_hy stale inside the scan; one refresh
-            # here replaces 13 per-substep recomputes.
-            fbm = fbm._replace(p_hy=_hydrostatic_pressure(fbm.b, dz, min_b, Z))
+            # Materialize the last pending correction ONCE per env step
+            # (the 38 interior corrections were applied in-kernel), refresh
+            # p_hy once (vs 13 per-substep recomputes), and recover the
+            # stored pressure from the unscaled solve.
+            _, correct_f = _glue
+            q = fbm.p_nhs
+            u, v, w = correct_f(fbm.u, fbm.v, fbm.w, q)
+            dt_last = (RK3_GAMMA[2] + RK3_ZETA[2]) * float(dts[-1])
+            fbm = Fields3D(
+                u, v, w, fbm.b,
+                _hydrostatic_pressure(fbm.b, dz, min_b, Z),
+                q / dt_last,
+            )
         return Fields3D(*(_from_bm(q, batch) for q in fbm))
 
     def substep(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:

@@ -75,7 +75,8 @@ def timed(name, body, carry):
 def stage_only(c):
     uu, vv, ww, bb = c
     dt = jnp.float32(0.001)
-    uu, vv, ww, bb, gu, gv, gw, gb = stage0(uu, vv, ww, bb, bot, dt)
+    q0 = jnp.zeros_like(bb)
+    uu, vv, ww, bb, dv, gu, gv, gw, gb = stage0(uu, vv, ww, bb, q0, bot, dt)
     return (uu + dt * gu, vv + dt * gv, ww + dt * gw, bb + dt * gb)
 
 

@@ -63,12 +63,13 @@ stage0, stage1, stage2 = make_stage_rk_3d(
     nx, ny, nz, dx, dy, dz, p.nu, p.kappa, p.min_b
 )
 dt0 = jnp.float32(0.001)
-bench("stage-RK kernel (m=0)", lambda *a: stage0(*a), u, v, w, b, bot, dt0)
-gp = stage0(u, v, w, b, bot, dt0)[4:]
+q0 = jnp.zeros_like(b)
+bench("stage-RK kernel (m=0)", lambda *a: stage0(*a), u, v, w, b, q0, bot, dt0)
+gp = stage0(u, v, w, b, q0, bot, dt0)[5:]
 bench("stage-RK kernel (m=1)",
-      lambda *a: stage1(*a[:6], a[6:]), u, v, w, b, bot, dt0, *gp)
+      lambda *a: stage1(*a[:7], a[7:]), u, v, w, b, q0, bot, dt0, *gp)
 bench("stage-RK kernel (m=2)",
-      lambda *a: stage2(*a[:6], a[6:]), u, v, w, b, bot, dt0, *gp)
+      lambda *a: stage2(*a[:7], a[7:]), u, v, w, b, q0, bot, dt0, *gp)
 
 fk = {
     n: make_field_stage_3d(n, nx, ny, nz, dx, dy, dz, p.nu, p.kappa, p.min_b)
