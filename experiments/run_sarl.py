@@ -199,9 +199,11 @@ def main():
             trainer.train_state = trainer.train_state.replace(params=params)
 
     steps_per_ep = env.episode_steps
+    # Order matters: callbacks that ADD metrics (Nusselt, Evaluation) must
+    # run before the sinks (MetricsLogger, W&B) or eval/* never reaches
+    # metrics.jsonl.
     callbacks = [
         NusseltCallback(),
-        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
         CheckpointCallback(ckpt_dir, save_freq=4),
         EvaluationCallback(
             eval_env,
@@ -211,6 +213,7 @@ def main():
             save_path=os.path.join(args.output_dir, "models"),
             obs_transform=obs_transform,
         ),
+        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
     ]
     if args.wandb:
         from rbc_gym_tpu.rl import WandbCallback

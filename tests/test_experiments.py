@@ -43,6 +43,11 @@ def test_run_and_eval_sarl(tmp_path, monkeypatch):
     assert len(lines) == 2
     rec = json.loads(lines[-1])
     assert np.isfinite(rec["rollout/nusselt_mean"])
+    # Regression: EvaluationCallback runs BEFORE MetricsLogger so eval/*
+    # lands in metrics.jsonl (eval freq=10 fires at iteration 0).
+    rec0 = json.loads(lines[0])
+    assert np.isfinite(rec0["eval/nusselt"])
+    assert np.isfinite(rec0["eval/reward"])
 
     # eval against the final model
     monkeypatch.setattr(
@@ -52,6 +57,19 @@ def test_run_and_eval_sarl(tmp_path, monkeypatch):
     import eval_sarl
 
     eval_sarl.main()
+
+    # trained-vs-zero-vs-random comparison on the held-out test bank
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval_baselines.py", str(out), "--episodes", "2",
+         "--model", "models/final_model.msgpack"],
+    )
+    import eval_baselines
+
+    eval_baselines.main()
+    summary = json.loads((out / "baseline_eval.json").read_text())
+    for pol in ("trained", "zero", "random"):
+        assert np.isfinite(summary[pol]["nusselt_mean"])
 
 
 def test_sbatch_args_roundtrip_cli(monkeypatch):
