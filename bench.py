@@ -116,13 +116,18 @@ def main():
         print(f"bench: pallas parity ok (2d {err2:.2e}, 3d {err3:.2e})",
               file=sys.stderr)
 
+    ok3d = False
     for num_envs in (int(os.environ.get("BENCH_ENVS_3D", 4096)), 1024, 256):
         try:
             print(json.dumps(run3d(num_envs)), flush=True)
+            ok3d = True
             break
         except Exception as e:
-            print(f"bench3d: {num_envs} envs failed ({type(e).__name__}), "
+            print(f"bench3d: {num_envs} envs failed ({type(e).__name__}: {e}), "
                   f"retrying smaller", file=sys.stderr)
+    if not ok3d:
+        print("bench3d: ALL sizes failed — no 3D metric emitted",
+              file=sys.stderr)
 
     for num_envs in (int(os.environ.get("BENCH_ENVS", 4096)), 2048, 1024, 256):
         try:

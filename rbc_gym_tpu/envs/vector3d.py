@@ -17,6 +17,7 @@ from rbc_gym_tpu.sim.solver3d import (
     make_solver3d,
 )
 from rbc_gym_tpu.sim import nusselt as nu
+from rbc_gym_tpu.envs.autoreset import autoreset_step
 from rbc_gym_tpu.utils.checkpoints import load_bank_3d
 
 
@@ -149,37 +150,9 @@ class RBC3DVectorEnv:
         final_obs = self._observe(fields)
 
         if self.auto_reset:
-            # Split the per-env key at each autoreset so every episode draws
-            # a fresh IC / bank index (see vector2d._step for the rationale);
-            # lax.cond skips the fresh-IC work on non-truncating steps.
-            def _with_autoreset(operand):
-                flds, key = operand
-                ks = jax.vmap(jax.random.split)(key)  # (E, 2, key)
-                carry, init_keys = ks[:, 0], ks[:, 1]
-                fresh = jax.vmap(self._init_fields)(init_keys)
-
-                def pick(new, old):
-                    m = truncated.reshape(
-                        truncated.shape + (1,) * (old.ndim - 1)
-                    )
-                    return jnp.where(m, new, old)
-
-                new_fields = jax.tree_util.tree_map(pick, fresh, flds)
-                kmask = truncated.reshape(
-                    truncated.shape + (1,) * (key.ndim - 1)
-                )
-                new_key = jnp.where(kmask, carry, key)
-                return new_fields, new_key, self._observe(new_fields)
-
-            def _no_autoreset(operand):
-                flds, key = operand
-                return flds, key, final_obs
-
-            fields, key, obs = jax.lax.cond(
-                jnp.any(truncated),
-                _with_autoreset,
-                _no_autoreset,
-                (fields, state.key),
+            fields, key, obs = autoreset_step(
+                fields, state.key, truncated, final_obs,
+                self._init_fields, self._observe,
             )
             t = jnp.where(truncated, 0.0, t)
             step = jnp.where(truncated, 1, step)

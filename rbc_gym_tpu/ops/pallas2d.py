@@ -29,13 +29,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rbc_gym_tpu.ops.stencils import (
-    _UB1_LEFT,
-    _UB1_RIGHT,
-    _UB3_LEFT,
-    _UB3_RIGHT,
-    _UB5_LEFT,
-    _UB5_RIGHT,
+# Shared flux-form upwind implementations (axis-generic; the 2D (nx, nz, E)
+# and 3D (nx, nz, ny, E) kernel layouts agree on x = axis 0, z = axis 1).
+from rbc_gym_tpu.ops.pallas3d import (  # noqa: F401
+    _c6_d5_flux,
+    _uw_flux_periodic,
+    _z_uw_flux,
 )
 
 DEFAULT_E_BLK = 128
@@ -57,11 +56,6 @@ def _pad_x(q, before: int, after: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else q
 
 
-
-def _stencil_fit_range(stencil, n_src: int) -> Tuple[int, int]:
-    """Inclusive range of m for which every tap m+off lies in [0, n_src)."""
-    offs = [off for off, _ in stencil]
-    return -min(offs), n_src - 1 - max(offs)
 
 
 def _pad_z(q, before: int, after: int):
@@ -87,86 +81,13 @@ def _zero_z_walls(q):
     return jnp.where(interior, q, 0.0)
 
 
-def _c6_d5_flux(tap, vel):
-    """Upwind-biased 5th-order FLUX via the central-plus-dissipation
-    factorization: v * UB5(q, v) = v * C6(q) - |v| * D5(q)/60 — one 6-tap
-    stencil pair instead of two 5-tap branches plus selects (taps at
-    offsets -3..2 around the face); equal to the select form up to f32
-    summation order (see ops/pallas3d._c6_d5_flux)."""
-    c6 = (
-        (37.0 / 60.0) * (tap(0) + tap(-1))
-        - (8.0 / 60.0) * (tap(1) + tap(-2))
-        + (1.0 / 60.0) * (tap(2) + tap(-3))
-    )
-    d5 = (
-        (10.0 / 60.0) * (tap(0) - tap(-1))
-        - (5.0 / 60.0) * (tap(1) - tap(-2))
-        + (1.0 / 60.0) * (tap(2) - tap(-3))
-    )
-    return vel * c6 - jnp.abs(vel) * d5
-
 
 def _uw_flux_x(q, vel, m: int):
-    """vel * _upwind_x(q, vel, m) in flux form."""
-    n = q.shape[0]
-    before = 3 - m
-    p = _pad_x(q, before, 2 + m)
-
-    def tap(off):
-        o = before + m + off
-        return p[o : o + n]
-
-    return _c6_d5_flux(tap, vel)
+    """vel * UB5 reconstruction along periodic x in flux form (the shared
+    axis-generic C6-D5 implementation; x = axis 0 here as in 3D)."""
+    return _uw_flux_periodic(q, vel, 0, m)
 
 
-def _z_row_flux(p, vel, j, split, n_src):
-    """One output row of the wall ladder (per-side first-fitting candidate,
-    the stencils._z_upwind rule) on a single sublane row slice."""
-    m = j + split
-    v = vel[:, j : j + 1]
-
-    def first_fit(cands):
-        for st_ in cands[:-1]:
-            lo, hi = _stencil_fit_range(st_, n_src)
-            if lo <= m <= hi:
-                return st_
-        return cands[-1]
-
-    def cand(st_):
-        acc = None
-        for off, c in st_:
-            t = c * p[:, 3 + m + off : 3 + m + off + 1]
-            acc = t if acc is None else acc + t
-        return acc
-
-    left = cand(first_fit((_UB5_LEFT, _UB3_LEFT, _UB1_LEFT)))
-    right = cand(first_fit((_UB5_RIGHT, _UB3_RIGHT, _UB1_RIGHT)))
-    return v * jnp.where(v > 0, left, right)
-
-
-def _z_uw_flux(q, vel, n_dst: int, split: int):
-    """vel * _z_upwind(q, vel, n_dst, split) in flux form: interior rows
-    (both-side UB5 fits) in one C6 - |v| D5 pass, wall rows patched via
-    narrow sublane slices instead of six full-slab candidates + masks."""
-    n_src = q.shape[1]
-    p = _pad_z(q, 3, 3)
-    lo_j = max(0, 3 - split)
-    hi_j = min(n_dst - 1, n_src - 3 - split)  # inclusive
-
-    rows = [_z_row_flux(p, vel, j, split, n_src) for j in range(0, lo_j)]
-    if hi_j >= lo_j:
-        n_int = hi_j - lo_j + 1
-        v_int = vel[:, lo_j : lo_j + n_int]
-
-        def tap(off):
-            s = 3 + split + off + lo_j
-            return p[:, s : s + n_int]
-
-        rows.append(_c6_d5_flux(tap, v_int))
-    rows += [
-        _z_row_flux(p, vel, j, split, n_src) for j in range(hi_j + 1, n_dst)
-    ]
-    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -538,10 +538,6 @@ def _xa_align(p, q):
     return _slice(a, _AX, lo - la, hi - la), _slice(b, _AX, lo - lb, hi - lb), lo
 
 
-def _xa_mul(p, q):
-    a, b, lo = _xa_align(p, q)
-    return a * b, lo
-
 
 def _xa_sub(p, q):
     a, b, lo = _xa_align(p, q)
@@ -578,40 +574,10 @@ def _xv_d2(p, d):
     )
 
 
-def _xv_upwind(p, vel, m):
-    """UB5 upwind x reconstruction in valid mode (periodic handled by the
-    caller's halo views). Taps span [m-3, m+2]; output range shrinks by 5.
-
-    Tap-by-tap accumulation and sequential sides, as in _upwind_periodic
-    (expression shape controls Mosaic register pressure)."""
-    a, lo = p
-    n_out = a.shape[0] - 5
-    out_lo = lo + 3 - m
-
-    def tap(off):
-        s = 3 + off
-        return _slice(a, _AX, s, s + n_out)
-
-    va, lv = vel
-    v = _slice(va, _AX, out_lo - lv, out_lo - lv + n_out)
-
-    left = 2 * tap(-3)
-    left = left - 13 * tap(-2)
-    left = left + 47 * tap(-1)
-    left = left + 27 * tap(0)
-    left = (left - 3 * tap(1)) / 60
-    out = jnp.where(v > 0, left, 0.0)
-    right = 2 * tap(2)
-    right = right - 13 * tap(1)
-    right = right + 47 * tap(0)
-    right = right + 27 * tap(-1)
-    right = (right - 3 * tap(-2)) / 60
-    return jnp.where(v > 0, out, right), out_lo
-
 
 def _xv_uw_flux(p, vel, m):
     """vel * UB5 x reconstruction in valid mode, flux form (see
-    _c6_d5_flux); replaces _xa_mul(vel, _xv_upwind(p, vel, m))."""
+    _c6_d5_flux)."""
     a, lo = p
     n_out = a.shape[0] - 5
     out_lo = lo + 3 - m
@@ -1078,7 +1044,7 @@ def make_stage_rk_3d(
                 compiler_params=compiler_params,
                 interpret=interpret,
                 scratch_shapes=[
-                    pltpu.VMEM((x_blk + 1, nz, ny, e_blk), jnp.float32)
+                    pltpu.VMEM((x_blk + 1, nz, ny, e_blk), dtype)
                 ],
             )(*args)
             if emit_g:
