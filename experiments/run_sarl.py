@@ -44,6 +44,7 @@ DEFAULT_CONFIG = {
     "rbc_dt_solver": 0.01,
     "rbc_checkpoint": None,  # path to a 3D bank; None = random ICs
     "rbc_checkpoint_idx": None,
+    "rl_log_std_init": 0.0,  # reference/SB3 default exploration scale
     "seed": 0,
 }
 
@@ -168,7 +169,10 @@ def main():
     )
     trainer = PPO(
         env,
-        RBCActorCritic(action_grid=(8, 8)),
+        RBCActorCritic(
+            action_grid=(8, 8),
+            log_std_init=config.get("rl_log_std_init", 0.0),
+        ),
         ppo_cfg,
         obs_transform=obs_transform,
         seed=config["seed"],

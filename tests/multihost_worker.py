@@ -1,0 +1,87 @@
+"""Worker for tests/test_multihost.py: one of two real jax.distributed
+processes on the CPU backend (4 virtual devices each -> 8 global).
+
+Runs the sharded 2D vector env over the ('host', 'env') mesh — the same
+code path a TPU pod launch uses (scripts/launch_multihost.sh) — and writes
+process 0's gathered rewards for the parent test to compare against a
+single-process reference.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # match tests/conftest.py
+
+import numpy as np
+
+
+def main():
+    port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+    from rbc_gym_tpu.parallel import (
+        initialize_distributed,
+        make_host_env_mesh,
+        shard_vector_env,
+    )
+
+    ok = initialize_distributed(f"localhost:{port}", 2, pid)
+    assert ok, "initialize_distributed returned False in a 2-process launch"
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    mesh = make_host_env_mesh()
+    assert mesh.devices.shape == (2, 4), mesh.devices.shape
+    # 'env'-axis rows must be process-local (ICI), 'host' axis crosses DCN.
+    for row, procs in enumerate(
+        [[d.process_index for d in mesh.devices[r]] for r in range(2)]
+    ):
+        assert len(set(procs)) == 1, (row, procs)
+
+    import jax.numpy as jnp
+
+    from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
+
+    env = shard_vector_env(
+        RBC2DVectorEnv(
+            num_envs=16,
+            state_shape=(16, 32),
+            observation_shape=(8, 16),
+            heater_duration=0.3,
+            episode_length=3.0,
+        ),
+        mesh,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    rewards = []
+    for i in range(3):
+        actions = jnp.full((16, 12), 0.1 * i, jnp.float32)
+        state, ts = env.step(state, actions)
+        rewards.append(ts.reward)
+
+    from jax.experimental import multihost_utils
+
+    gathered = np.stack(
+        [
+            np.asarray(multihost_utils.process_allgather(r, tiled=True))
+            for r in rewards
+        ]
+    )
+    assert np.isfinite(gathered).all()
+    if pid == 0:
+        np.save(out_path, gathered)
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()
