@@ -71,6 +71,13 @@ def test_run_and_eval_sarl(tmp_path, monkeypatch):
     for pol in ("trained", "zero", "random"):
         assert np.isfinite(summary[pol]["nusselt_mean"])
 
+    # learning-curve figure straight from metrics.jsonl + baseline_eval.json
+    monkeypatch.setattr(sys, "argv", ["plot_training.py", str(out)])
+    import plot_training
+
+    plot_training.main()
+    assert (out / "curves.png").stat().st_size > 0
+
 
 def test_sbatch_args_roundtrip_cli(monkeypatch):
     """Regression (round-1 verdict): every flag scripts/train_sa.sbatch
