@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Single-agent PPO on the 2D RBC environment (TPU-native).
+
+No reference counterpart (the reference trains RL on 3D only,
+experiments/run_sarl.py) — this demonstrates the same on-device PPO stack
+on the 2D env, where the 12-segment 1D actuation makes convection
+suppression learnable quickly at 10k env-steps/s.
+
+Usage:
+  python experiments/run_sarl_2d.py --output_dir results/sarl2d \
+      [--config cfg.yaml] [--num_envs N] [--iterations K]
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger("run_sarl_2d")
+
+DEFAULT_CONFIG = {
+    "rl_n_steps": 64,
+    "rl_n_envs": 256,
+    "rl_batch_size": 512,
+    "rl_n_epochs": 10,
+    "rl_ent_coef": 1e-4,
+    "rl_learning_rate": 3e-4,
+    "rl_nr_iterations": 150,
+    "rl_log_std_init": -0.7,
+    "rbc_heater_duration": 1.5,
+    "rbc_heater_limit": 0.75,
+    "rbc_rayleigh_number": 10_000,
+    "rbc_episode_length": 300,
+    "rbc_observation_shape": [8, 48],
+    "rbc_state_shape": [64, 96],
+    "rbc_checkpoint": "data/checkpoints/train/ckpt_ra10000.h5",
+    "seed": 0,
+}
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None)
+    datestring = datetime.now().strftime("%Y%m%d_%H%M%S")
+    p.add_argument("--output_dir", type=str,
+                   default=f"results/run2d_{datestring}")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--n_steps", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    config = dict(DEFAULT_CONFIG)
+    if args.config and os.path.isfile(args.config):
+        import yaml
+
+        with open(args.config) as f:
+            config.update(yaml.safe_load(f))
+    for key, val in (
+        ("rl_n_envs", args.num_envs),
+        ("rl_nr_iterations", args.iterations),
+        ("rl_n_steps", args.n_steps),
+        ("rbc_checkpoint", args.checkpoint),
+    ):
+        if val is not None:
+            config[key] = val
+    buffer = config["rl_n_steps"] * config["rl_n_envs"]
+    if buffer % config["rl_batch_size"] != 0:
+        config["rl_batch_size"] = config["rl_n_envs"]
+    n_minibatches = buffer // config["rl_batch_size"]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(config, f)
+
+    from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
+    from rbc_gym_tpu.models import RBCActorCritic2D
+    from rbc_gym_tpu.rl import (
+        PPO,
+        PPOConfig,
+        CheckpointCallback,
+        EvaluationCallback,
+        MetricsLogger,
+        NusseltCallback,
+    )
+    from rbc_gym_tpu.wrappers import functional as fn
+
+    env_kwargs = dict(
+        rayleigh_number=config["rbc_rayleigh_number"],
+        observation_shape=tuple(config["rbc_observation_shape"]),
+        state_shape=tuple(config["rbc_state_shape"]),
+        heater_duration=config["rbc_heater_duration"],
+        heater_limit=config["rbc_heater_limit"],
+        episode_length=config["rbc_episode_length"],
+        checkpoint=config["rbc_checkpoint"],
+    )
+    env = RBC2DVectorEnv(num_envs=config["rl_n_envs"], **env_kwargs)
+    eval_env = RBC2DVectorEnv(num_envs=max(1, config["rl_n_envs"] // 4),
+                              **env_kwargs)
+
+    norm = fn.make_obs_norm_2d(heater_limit=config["rbc_heater_limit"])
+
+    def obs_transform(o):
+        return fn.normalize_observation(o, norm, channel_axis=-3)
+
+    trainer = PPO(
+        env,
+        RBCActorCritic2D(
+            n_heaters=12, log_std_init=config["rl_log_std_init"]
+        ),
+        PPOConfig(
+            n_steps=config["rl_n_steps"],
+            n_epochs=config["rl_n_epochs"],
+            n_minibatches=n_minibatches,
+            ent_coef=config["rl_ent_coef"],
+            learning_rate=config["rl_learning_rate"],
+        ),
+        obs_transform=obs_transform,
+        seed=config["seed"],
+    )
+    logger.info("Rollout buffer: %d timesteps (%d envs x %d steps)",
+                buffer, config["rl_n_envs"], config["rl_n_steps"])
+
+    callbacks = (
+        NusseltCallback(),
+        CheckpointCallback(
+            os.path.join(args.output_dir, "models", "checkpoints"),
+            save_freq=10,
+        ),
+        EvaluationCallback(
+            eval_env,
+            n_steps=min(eval_env.episode_steps, 100),
+            freq=10,
+            save_model=True,
+            save_path=os.path.join(args.output_dir, "models"),
+            obs_transform=obs_transform,
+        ),
+        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
+    )
+    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=callbacks)
+    logger.info("Final metrics: %s", json.dumps(metrics, indent=2))
+
+    from rbc_gym_tpu.rl import save_params
+
+    save_params(
+        trainer.train_state.params,
+        os.path.join(args.output_dir, "models", "final_model.msgpack"),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ from rbc_gym_tpu.models.flax_nets import (
     ActorCriticNetwork,
     FluidCNNExtractor,
     RBCActorCritic,
+    RBCActorCritic2D,
     periodic_pad_3d,
 )
 
@@ -11,6 +12,7 @@ __all__ = [
     "ActorCriticNetwork",
     "FluidCNNExtractor",
     "RBCActorCritic",
+    "RBCActorCritic2D",
     "periodic_pad_3d",
 ]
 

@@ -98,6 +98,48 @@ class ActorCriticNetwork(nn.Module):
         return pi_latent, vf_latent
 
 
+def periodic_pad_2d(x: jax.Array, pad_h: int = 1, pad_w: int = 1) -> jax.Array:
+    """(B, H, W, C): circular pad in W (periodic x), zero pad in H
+    (bounded z) — the 2D analogue of ``periodic_pad_3d``."""
+    x = jnp.concatenate([x[:, :, -pad_w:], x, x[:, :, :pad_w]], axis=2)
+    return jnp.pad(x, ((0, 0), (pad_h, pad_h), (0, 0), (0, 0)))
+
+
+class RBCActorCritic2D(nn.Module):
+    """Diagonal-Gaussian actor-critic for the 2D env (no reference
+    counterpart — the reference trains on 3D only; this follows the same
+    periodic-pad CNN pattern as ``RBCActorCritic``).
+
+    Input obs: (B, C, nz_o, nx_o) as the env produces (channels first);
+    output action mean is (B, n_heaters) over the bottom-plate segments.
+    """
+
+    n_heaters: int = 12
+    hidden_channels: int = 32
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs: jax.Array):
+        x = jnp.moveaxis(obs, -3, -1)  # (B, nz, nx, C)
+        for _ in range(2):
+            x = periodic_pad_2d(x)
+            x = nn.gelu(
+                nn.Conv(self.hidden_channels, (3, 3), padding="VALID")(x)
+            )
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        feats = x.reshape(x.shape[0], -1)
+        pi = nn.gelu(nn.Dense(128)(feats))
+        vf = nn.gelu(nn.Dense(128)(feats))
+        mean = nn.Dense(self.n_heaters)(pi)
+        value = nn.Dense(1)(vf)[..., 0]
+        log_std = self.param(
+            "log_std",
+            lambda key, shape: jnp.full(shape, self.log_std_init),
+            (self.n_heaters,),
+        )
+        return mean, log_std, value
+
+
 class RBCActorCritic(nn.Module):
     """Full diagonal-Gaussian actor-critic policy for the 3D env.
 

@@ -186,3 +186,38 @@ def test_burnin_bank_roundtrip(tmp_path):
     state, obs = env.reset(jax.random.PRNGKey(0))
     state, ts = env.step(state, jnp.zeros((2, 12)))
     assert np.isfinite(np.asarray(ts.reward)).all()
+
+
+def test_run_sarl_2d(tmp_path, monkeypatch):
+    """2D PPO CLI end-to-end at tiny shapes (no reference counterpart —
+    the reference trains 3D only; experiments/run_sarl_2d.py)."""
+    cfg = {
+        "rl_n_steps": 2,
+        "rl_n_envs": 2,
+        "rl_batch_size": 2,
+        "rl_n_epochs": 1,
+        "rl_nr_iterations": 2,
+        "rbc_heater_duration": 0.3,
+        "rbc_rayleigh_number": 10_000,
+        "rbc_episode_length": 0.9,
+        "rbc_observation_shape": [8, 16],
+        "rbc_state_shape": [16, 32],
+        "rbc_checkpoint": None,
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "run2d"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_sarl_2d.py", "--config", str(cfg_path), "--output_dir", str(out)],
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    import run_sarl_2d
+
+    run_sarl_2d.main()
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["rollout/nusselt_mean"])
+    assert np.isfinite(json.loads(lines[0])["eval/nusselt"])
+    assert (out / "models" / "final_model.msgpack").exists()
