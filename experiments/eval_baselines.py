@@ -1,21 +1,35 @@
 #!/usr/bin/env python
-"""Trained-policy vs zero-action vs random-action Nusselt comparison.
+"""Trained-policy vs baseline Nusselt comparison with bootstrap CIs.
 
 The RL claim of this suite — and of the reference (README.md "suppress
 convective heat transport", reward = -Nu, envs/rbc3D.py:234-236) — is that
 the learned heater policy reduces the Nusselt number below the uncontrolled
-flow. This script quantifies that on a HELD-OUT checkpoint bank: for each
-policy in {trained (greedy), zero action, random action} it rolls N
-lockstep episodes from the bank and reports mean/std Nusselt over the
-episode (and over its second half, where the policy's effect has
-accumulated), writing `baseline_eval.json` next to the model.
+flow. This script quantifies that on a HELD-OUT checkpoint bank with a
+protocol a skeptic can audit:
+
+* initial conditions are drawn WITHOUT replacement from the bank
+  (bank_sampling="sequential"); when more episodes than bank states are
+  requested, a small thermal kick (--ic_noise) decorrelates the extra
+  trajectories and the IC multiplicity is reported in the output;
+* every policy rolls from the SAME initial states, so policy contrasts are
+  paired per episode;
+* the horizon is a flag (--n_steps, default: one full episode) — long
+  enough for the actuation to act, unlike a 7-step episode at
+  heater_duration 0.375 t_ff;
+* the headline number, suppression_vs_zero_pct, carries a paired-bootstrap
+  95% CI over episodes;
+* a hand-crafted proportional controller (scripts/probe_control2d.py) is
+  included as a known-physics baseline alongside {trained, zero, random};
+* per-step mean Nu(t) traces per policy are stored for plotting
+  (experiments/plot_training.py --eval).
 
 Works on both run_sarl.py (3D) and run_sarl_2d.py (2D) result dirs — the
 env dimensionality is read from the saved config.
 
 Usage:
   python experiments/eval_baselines.py results/sarl_ra2500 \
-      [--bank data/checkpoints/test/3D_ckpt_ra2500.h5] [--episodes 64]
+      [--bank data/checkpoints/test/3D_ckpt_ra2500.h5] [--episodes 64] \
+      [--n_steps 200] [--ic_noise 1e-3]
 """
 
 import argparse
@@ -24,6 +38,24 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bootstrap_ci(stat_fn, data, n_boot=10_000, alpha=0.05, seed=0):
+    """Percentile bootstrap CI for stat_fn over episode-axis resamples.
+
+    ``data`` is a tuple of arrays whose FIRST axis is episodes; resampling
+    is paired (the same episode indices are used for every array).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = data[0].shape[0]
+    stats = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.integers(0, n, size=n)
+        stats[i] = stat_fn(*(d[idx] for d in data))
+    lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
+    return float(lo), float(hi)
 
 
 def main():
@@ -35,8 +67,16 @@ def main():
                         "or the Ra-matched test bank)")
     p.add_argument("--episodes", type=int, default=64,
                    help="lockstep episodes per policy")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="rollout horizon in env steps (default: one episode)")
+    p.add_argument("--ic_noise", type=float, default=1e-3,
+                   help="thermal kick decorrelating episodes that share a "
+                        "bank state (0 disables)")
     p.add_argument("--model", default="models/best_model.msgpack")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--prop_gain", type=float, default=None,
+                   help="gain of the proportional-control baseline "
+                        "(default: 10.0 in 2D, 0.3 in 3D)")
     args = p.parse_args()
 
     import yaml
@@ -67,49 +107,81 @@ def main():
         episode_length=config["rbc_episode_length"],
         checkpoint=bank,
         auto_reset=False,
+        bank_sampling="sequential",
+        ic_noise=args.ic_noise,
     )
     if is_3d:
         from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
         from rbc_gym_tpu.models import RBCActorCritic
 
+        s = int(config.get("rbc_heater_segments", 8))
         env = RBC3DVectorEnv(
-            dt_solver=config.get("rbc_dt_solver", 0.01), **env_kwargs
+            dt_solver=config.get("rbc_dt_solver", 0.01),
+            heater_segments=s,
+            **env_kwargs,
         )
-        model = RBCActorCritic(action_grid=(8, 8))
+        model = RBCActorCritic(action_grid=(s, s))
         norm = fn.make_obs_norm_3d(
             ra=config["rbc_rayleigh_number"],
             heater_limit=config["rbc_heater_limit"],
         )
         channel_axis = -4
-        a_shape = (args.episodes, 8, 8)
+        a_shape = (args.episodes, s, s)
+        prop_gain = args.prop_gain if args.prop_gain is not None else 0.3
 
         def nus_of(ts):
             return ts.nusselt
+
+        ny, nx = env.grid.ny, env.grid.nx
+        py, px = ny // s, nx // s
+
+        def proportional(obs, key):
+            # Oppose the tile-averaged near-bottom temperature fluctuation
+            # (scripts/probe_control3d.py).
+            t = obs[:, 0, 1]  # (E, ny, nx), z row 1
+            tiles = t.reshape(t.shape[0], s, py, s, px).mean(axis=(2, 4))
+            fluct = tiles - tiles.mean(axis=(-2, -1), keepdims=True)
+            return jnp.clip(-prop_gain * fluct, -1.0, 1.0)
     else:
         from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
         from rbc_gym_tpu.models import RBCActorCritic2D
 
+        s = int(config.get("rbc_heater_segments", 12))
         env = RBC2DVectorEnv(
             observation_shape=tuple(config["rbc_observation_shape"]),
+            heater_segments=s,
             **env_kwargs,
         )
         model = RBCActorCritic2D(
-            n_heaters=12,
+            n_heaters=s,
             log_std_init=config.get("rl_log_std_init", 0.0),
         )
         norm = fn.make_obs_norm_2d(heater_limit=config["rbc_heater_limit"])
         channel_axis = -3
-        a_shape = (args.episodes, 12)
+        a_shape = (args.episodes, s)
+        prop_gain = args.prop_gain if args.prop_gain is not None else 10.0
+        nx_o = env.observation_shape[1]
+        per_seg = nx_o // s
 
         def nus_of(ts):
             return ts.nusselt_state
 
+        def proportional(obs, key):
+            # Oppose the segment-averaged near-bottom temperature
+            # fluctuation (scripts/probe_control2d.py: row 1, gain 10 gives
+            # ~+11% suppression at Ra 1e4).
+            t_row = obs[:, 0, 1, :]  # (E, nx_obs)
+            t_seg = t_row.reshape(t_row.shape[0], s, per_seg).mean(-1)
+            fluct = t_seg - t_seg.mean(axis=-1, keepdims=True)
+            return jnp.clip(-prop_gain * fluct, -1.0, 1.0)
+
+    bank_size = int(env._bank.b.shape[0])
     state0, obs0 = env.reset(jax.random.PRNGKey(args.seed))
     obs_n = fn.normalize_observation(obs0, norm, channel_axis=channel_axis)
     params = model.init(jax.random.PRNGKey(0), obs_n)
     params = load_params(params, os.path.join(args.result_dir, args.model))
 
-    n_steps = env.episode_steps
+    n_steps = args.n_steps or env.episode_steps
 
     def rollout(action_fn):
         def step(carry, key):
@@ -133,31 +205,66 @@ def main():
     def random(obs, key):
         return jax.random.uniform(key, a_shape, jnp.float32, -1.0, 1.0)
 
+    policies = (
+        ("trained", trained),
+        ("zero", zero),
+        ("random", random),
+        ("proportional", proportional),
+    )
     results = {}
-    for name, fn_ in (("trained", trained), ("zero", zero), ("random", random)):
+    per_episode = {}  # policy -> (episodes,) second-half mean Nu
+    for name, fn_ in policies:
         nus = np.asarray(jax.jit(lambda: rollout(fn_))())
         half = nus[nus.shape[0] // 2:]
+        ep = half.mean(axis=0)  # (episodes,) paired by initial condition
+        per_episode[name] = ep
+        lo, hi = bootstrap_ci(lambda e: e.mean(), (ep,))
         results[name] = {
             "nusselt_mean": float(nus.mean()),
             "nusselt_std_across_episodes": float(nus.mean(axis=0).std()),
-            "nusselt_mean_second_half": float(half.mean()),
+            "nusselt_mean_second_half": float(ep.mean()),
+            "nusselt_second_half_ci95": [lo, hi],
+            "nusselt_trace": [float(v) for v in nus.mean(axis=1)],
             "n_steps": int(nus.shape[0]),
             "episodes": int(nus.shape[1]),
         }
-        print(f"{name:8}: Nu = {results[name]['nusselt_mean']:.4f} "
-              f"(2nd half {results[name]['nusselt_mean_second_half']:.4f})",
+        print(f"{name:12}: Nu = {results[name]['nusselt_mean']:.4f} "
+              f"(2nd half {ep.mean():.4f} [{lo:.4f}, {hi:.4f}])",
               flush=True)
 
-    tr = results["trained"]["nusselt_mean_second_half"]
-    z = results["zero"]["nusselt_mean_second_half"]
-    results["suppression_vs_zero_pct"] = 100.0 * (z - tr) / z
+    def suppression(name):
+        """Paired suppression % with bootstrap CI; None if degenerate."""
+        t, z = per_episode[name], per_episode["zero"]
+        denom = z.mean()
+        if not np.isfinite(denom) or abs(denom) < 1e-9:
+            return None
+        point = 100.0 * (denom - t.mean()) / denom
+        lo, hi = bootstrap_ci(
+            lambda te, ze: 100.0 * (ze.mean() - te.mean()) / ze.mean(),
+            (t, z),
+        )
+        return {"pct": float(point), "ci95": [lo, hi]}
+
+    supp = suppression("trained")
+    results["suppression_vs_zero_pct"] = supp["pct"] if supp else None
+    results["suppression_vs_zero_ci95"] = supp["ci95"] if supp else None
+    for name in ("random", "proportional"):
+        sp = suppression(name)
+        results[f"suppression_{name}_vs_zero"] = sp
     results["bank"] = bank
+    results["bank_size"] = bank_size
+    results["ic_duplication"] = -(-args.episodes // bank_size)  # ceil
+    results["ic_noise"] = args.ic_noise
     results["model"] = args.model
     out = os.path.join(args.result_dir, "baseline_eval.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"suppression vs zero-action: "
-          f"{results['suppression_vs_zero_pct']:.2f}%  -> {out}")
+    if supp:
+        print(f"suppression vs zero-action: {supp['pct']:.2f}% "
+              f"[{supp['ci95'][0]:.2f}, {supp['ci95'][1]:.2f}]  -> {out}")
+    else:
+        print(f"suppression vs zero-action: undefined "
+              f"(degenerate zero baseline)  -> {out}")
 
 
 if __name__ == "__main__":

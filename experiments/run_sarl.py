@@ -34,6 +34,8 @@ DEFAULT_CONFIG = {
     "rl_n_epochs": 10,
     "rl_ent_coef": 0.01,
     "rl_learning_rate": 3e-4,
+    "rl_target_kl": 0.02,
+    "rl_anneal_lr": False,
     "rl_stat_window_size": 50,
     "rl_nr_iterations": 10,
     "rbc_heater_duration": 0.375,
@@ -141,6 +143,7 @@ def main():
     env_kwargs = dict(
         rayleigh_number=config["rbc_rayleigh_number"],
         state_shape=tuple(config["rbc_state_shape"]),
+        heater_segments=int(config.get("rbc_heater_segments", 8)),
         heater_duration=config["rbc_heater_duration"],
         heater_limit=config["rbc_heater_limit"],
         episode_length=config["rbc_episode_length"],
@@ -166,11 +169,15 @@ def main():
         n_minibatches=n_minibatches,
         ent_coef=config["rl_ent_coef"],
         learning_rate=config["rl_learning_rate"],
+        target_kl=config.get("rl_target_kl"),
+        anneal_lr=bool(config.get("rl_anneal_lr", False)),
+        total_iterations=config["rl_nr_iterations"],
     )
+    s = env.params.n_heaters
     trainer = PPO(
         env,
         RBCActorCritic(
-            action_grid=(8, 8),
+            action_grid=(s, s),
             log_std_init=config.get("rl_log_std_init", 0.0),
         ),
         ppo_cfg,

@@ -74,8 +74,18 @@ class RBC2DVectorEnv:
         pressure: bool = False,
         checkpoint: Optional[str] = None,
         auto_reset: bool = True,
+        bank_sampling: str = "random",
+        ic_noise: float = 0.0,
         dtype=jnp.float32,
     ):
+        """``bank_sampling``: how reset draws initial conditions from a
+        checkpoint bank — "random" (reference semantics, random episode
+        index per env, sim/rbc_sim2D.jl:178) or "sequential" (env i gets
+        bank state i % bank_size; deterministic, duplicate-free up to the
+        bank size — for evaluation). ``ic_noise`` adds a Gaussian kick of
+        that amplitude to bank states at reset so lockstep envs sharing a
+        bank index decorrelate (evaluation with more episodes than bank
+        states)."""
         self.num_envs = num_envs
         nz, nx = state_shape
         self.grid = Grid2D(nx=nx, nz=nz, lx=2 * np.pi, lz=2.0)
@@ -90,6 +100,10 @@ class RBC2DVectorEnv:
         self.observation_shape = tuple(observation_shape)
         self.include_pressure = pressure
         self.auto_reset = auto_reset
+        if bank_sampling not in ("random", "sequential"):
+            raise ValueError(f"unknown bank_sampling {bank_sampling!r}")
+        self.bank_sampling = bank_sampling
+        self.ic_noise = float(ic_noise)
         self.dtype = dtype
         self.solver = make_solver2d(self.grid, self.params, dtype=dtype)
 
@@ -108,20 +122,42 @@ class RBC2DVectorEnv:
         self.step = jax.jit(self._step)
 
     # -- init ----------------------------------------------------------
+    def _fields_from_bank(self, idx: jax.Array, key: jax.Array) -> Fields2D:
+        f = jax.tree_util.tree_map(lambda a: a[idx], self._bank)
+        if self.ic_noise > 0.0:
+            kb, ku, kw = jax.random.split(jax.random.fold_in(key, 1), 3)
+            eps = self.ic_noise
+            p = self.params
+            w = f.w + eps * jax.random.normal(kw, f.w.shape, self.dtype)
+            w = w.at[..., 0].set(0.0).at[..., -1].set(0.0)
+            f = f._replace(
+                b=jnp.clip(
+                    f.b + eps * jax.random.normal(kb, f.b.shape, self.dtype),
+                    p.min_b, p.min_b + p.delta_b,
+                ),
+                u=f.u + eps * jax.random.normal(ku, f.u.shape, self.dtype),
+                w=w,
+            )
+        p_hy = _hydrostatic_pressure(f.b, self.grid.dz, self.params.min_b)
+        return f._replace(p_hy=p_hy)
+
     def _init_fields(self, key: jax.Array) -> Fields2D:
         """Fresh per-env initial state: checkpoint episode or random kick."""
         if self._bank is not None:
             n = self._bank.b.shape[0]
             idx = jax.random.randint(key, (), 0, n)
-            f = jax.tree_util.tree_map(lambda a: a[idx], self._bank)
-            p_hy = _hydrostatic_pressure(f.b, self.grid.dz, self.params.min_b)
-            return f._replace(p_hy=p_hy)
+            return self._fields_from_bank(idx, key)
         return self.solver.init_random(key)
 
     def _reset(self, key: jax.Array) -> Tuple[EnvState2D, jax.Array]:
         keys = jax.random.split(key, self.num_envs)
         init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-        fields = jax.vmap(self._init_fields)(init_keys)
+        if self._bank is not None and self.bank_sampling == "sequential":
+            n = self._bank.b.shape[0]
+            idx = jnp.arange(self.num_envs) % n
+            fields = jax.vmap(self._fields_from_bank)(idx, init_keys)
+        else:
+            fields = jax.vmap(self._init_fields)(init_keys)
         state = EnvState2D(
             fields=fields,
             t=jnp.zeros(self.num_envs, self.dtype),

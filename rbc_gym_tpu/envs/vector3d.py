@@ -56,9 +56,14 @@ class RBC3DVectorEnv:
         checkpoint: Optional[str] = None,
         checkpoint_idx: Optional[int] = None,
         auto_reset: bool = True,
+        bank_sampling: str = "random",
+        ic_noise: float = 0.0,
         dtype=jnp.float32,
         fused=None,
     ):
+        """``bank_sampling`` / ``ic_noise``: see RBC2DVectorEnv — sequential
+        duplicate-free bank draws and IC decorrelation noise for
+        evaluation."""
         self.num_envs = num_envs
         nz, ny, nx = state_shape
         lz, ly, lx = domain
@@ -79,6 +84,10 @@ class RBC3DVectorEnv:
         self._t_per_step = self.params.heater_duration * self.params.t_ff
         self.episode_steps = int(round(float(episode_length) / self._t_per_step))
         self.auto_reset = auto_reset
+        if bank_sampling not in ("random", "sequential"):
+            raise ValueError(f"unknown bank_sampling {bank_sampling!r}")
+        self.bank_sampling = bank_sampling
+        self.ic_noise = float(ic_noise)
         self.dtype = dtype
         self.checkpoint_idx = checkpoint_idx
         self.solver = make_solver3d(
@@ -100,6 +109,26 @@ class RBC3DVectorEnv:
         self.reset = jax.jit(self._reset)
         self.step = jax.jit(self._step)
 
+    def _fields_from_bank(self, idx: jax.Array, key: jax.Array) -> Fields3D:
+        f = jax.tree_util.tree_map(lambda a: a[idx], self._bank)
+        if self.ic_noise > 0.0:
+            kb, ku, kv, kw = jax.random.split(jax.random.fold_in(key, 1), 4)
+            eps = self.ic_noise
+            p = self.params
+            w = f.w + eps * jax.random.normal(kw, f.w.shape, self.dtype)
+            w = w.at[..., 0].set(0.0).at[..., -1].set(0.0)
+            f = f._replace(
+                b=jnp.clip(
+                    f.b + eps * jax.random.normal(kb, f.b.shape, self.dtype),
+                    p.min_b, p.min_b + p.delta_b,
+                ),
+                u=f.u + eps * jax.random.normal(ku, f.u.shape, self.dtype),
+                v=f.v + eps * jax.random.normal(kv, f.v.shape, self.dtype),
+                w=w,
+            )
+        p_hy = _hydrostatic_pressure_3d(f.b, self.grid.dz, self.params.min_b)
+        return f._replace(p_hy=p_hy)
+
     def _init_fields(self, key: jax.Array) -> Fields3D:
         if self._bank is not None:
             n = self._bank.b.shape[0]
@@ -107,17 +136,18 @@ class RBC3DVectorEnv:
                 idx = jnp.asarray(self.checkpoint_idx)
             else:
                 idx = jax.random.randint(key, (), 0, n)
-            f = jax.tree_util.tree_map(lambda a: a[idx], self._bank)
-            p_hy = _hydrostatic_pressure_3d(
-                f.b, self.grid.dz, self.params.min_b
-            )
-            return f._replace(p_hy=p_hy)
+            return self._fields_from_bank(idx, key)
         return self.solver.init_random(key)
 
     def _reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)
         init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-        fields = jax.vmap(self._init_fields)(init_keys)
+        if self._bank is not None and self.bank_sampling == "sequential":
+            n = self._bank.b.shape[0]
+            idx = jnp.arange(self.num_envs) % n
+            fields = jax.vmap(self._fields_from_bank)(idx, init_keys)
+        else:
+            fields = jax.vmap(self._init_fields)(init_keys)
         state = EnvState3D(
             fields=fields,
             t=jnp.zeros(self.num_envs, self.dtype),

@@ -44,6 +44,16 @@ class PPOConfig:
     ent_coef: float = 0.01  # reference rl_ent_coef
     max_grad_norm: float = 0.5
     normalize_advantage: bool = True
+    # SB3 target_kl semantics (the safeguard the reference inherits via
+    # stable_baselines3.PPO.train): before applying each minibatch, compute
+    # approx_kl on it; if > 1.5 * target_kl, skip that update and every
+    # later one this iteration. None disables the check.
+    target_kl: Optional[float] = None
+    # Linear LR decay to ~0 over the expected number of *applied* gradient
+    # steps (total_iterations * n_epochs * n_minibatches). Requires
+    # total_iterations; steps skipped by target_kl do not advance the decay.
+    anneal_lr: bool = False
+    total_iterations: Optional[int] = None
 
 
 class Transition(NamedTuple):
@@ -99,9 +109,23 @@ class PPO:
         self.env_state, obs0 = env.reset(env_key)
         obs0 = self.obs_transform(obs0)
         params = model.init(init_key, obs0[:1])
+        if config.anneal_lr:
+            if config.total_iterations is None:
+                raise ValueError("anneal_lr requires total_iterations")
+            lr = optax.linear_schedule(
+                init_value=config.learning_rate,
+                end_value=config.learning_rate * 1e-2,
+                transition_steps=(
+                    config.total_iterations
+                    * config.n_epochs
+                    * config.n_minibatches
+                ),
+            )
+        else:
+            lr = config.learning_rate
         tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.learning_rate, eps=1e-5),
+            optax.adam(lr, eps=1e-5),
         )
         self.train_state = TrainState.create(
             apply_fn=model.apply, params=params, tx=tx
@@ -229,6 +253,7 @@ class PPO:
             "entropy": entropy,
             "approx_kl": approx_kl,
             "clip_fraction": clip_frac,
+            "policy_std": jnp.mean(jnp.exp(log_std)),
         }
 
     def _update(self, train_state, traj, advantages, returns, key):
@@ -255,7 +280,7 @@ class PPO:
         }
 
         def epoch_fn(carry, _):
-            train_state, key = carry
+            train_state, cont, key = carry
             key, pkey = jax.random.split(key)
             perm = jax.random.permutation(pkey, batch_size)
             shuffled = {
@@ -265,7 +290,8 @@ class PPO:
                 for k, v in flat.items()
             }
 
-            def mb_fn(train_state, mb_flat):
+            def mb_fn(carry, mb_flat):
+                train_state, cont = carry
                 mb = {
                     k: v.reshape((mb_size,) + shapes[k])
                     for k, v in mb_flat.items()
@@ -283,15 +309,46 @@ class PPO:
                 grads, metrics = jax.grad(self._loss, has_aux=True)(
                     train_state.params, batch, mb["adv"], mb["ret"]
                 )
-                return train_state.apply_gradients(grads=grads), metrics
+                metrics["grad_norm"] = optax.global_norm(grads)
+                # SB3 target_kl: the minibatch KL is checked BEFORE applying
+                # it; once exceeded, this and all later minibatches this
+                # iteration are skipped (lax.scan can't break, so skipped
+                # updates are where-masked out of the whole train state —
+                # params, Adam moments, and step count stay frozen).
+                if cfg.target_kl is not None:
+                    apply = cont & (
+                        metrics["approx_kl"] <= 1.5 * cfg.target_kl
+                    )
+                else:
+                    apply = cont
+                new_state = train_state.apply_gradients(grads=grads)
+                train_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(apply, new, old),
+                    new_state,
+                    train_state,
+                )
+                metrics["update_applied"] = apply.astype(jnp.float32)
+                return (train_state, apply), metrics
 
-            train_state, metrics = jax.lax.scan(mb_fn, train_state, shuffled)
-            return (train_state, key), metrics
+            (train_state, cont), metrics = jax.lax.scan(
+                mb_fn, (train_state, cont), shuffled
+            )
+            return (train_state, cont, key), metrics
 
-        (train_state, key), metrics = jax.lax.scan(
-            epoch_fn, (train_state, key), None, length=cfg.n_epochs
+        cont0 = jnp.asarray(True)
+        (train_state, _, key), metrics = jax.lax.scan(
+            epoch_fn, (train_state, cont0, key), None, length=cfg.n_epochs
         )
-        metrics = jax.tree_util.tree_map(lambda a: a.mean(), metrics)
+        # Average diagnostics over APPLIED minibatches only; a diverging KL
+        # on skipped minibatches would otherwise pollute the logged means.
+        # The first minibatch always applies (ratio == 1 exactly there), so
+        # the weight sum is >= 1.
+        applied = metrics.pop("update_applied")
+        n_updates = applied.sum()
+        metrics = jax.tree_util.tree_map(
+            lambda a: (a * applied).sum() / n_updates, metrics
+        )
+        metrics["n_updates"] = n_updates
         return train_state, key, metrics
 
     def _iteration_impl(self, train_state, env_state, obs, key):

@@ -147,6 +147,50 @@ def test_gae_matches_explicit_loop(trained):
     )
 
 
+def test_target_kl_stops_updates():
+    """SB3 target_kl semantics: the first minibatch always applies (its
+    ratio is exactly 1 -> KL 0), and once any minibatch's KL exceeds
+    1.5*target_kl every later update this iteration is skipped. With a
+    vanishingly small target_kl exactly ONE update applies per iteration."""
+    env = RBC3DVectorEnv(
+        num_envs=2,
+        state_shape=(16, 32, 32),
+        heater_duration=0.125,
+        episode_length=2,
+        rayleigh_number=2500,
+    )
+    model = RBCActorCritic(action_grid=(8, 8))
+
+    def make(target_kl):
+        cfg = PPOConfig(
+            n_steps=4, n_epochs=2, n_minibatches=2, target_kl=target_kl
+        )
+        return PPO(env, model, cfg, seed=0)
+
+    tiny = make(1e-12)
+    metrics = tiny.learn(2)
+    assert metrics["n_updates"] == 1.0
+    assert int(tiny.train_state.step) == 2  # one applied update per iter
+
+    huge = make(10.0)
+    metrics = huge.learn(1)
+    assert metrics["n_updates"] == 2 * 2  # epochs * minibatches
+    assert int(huge.train_state.step) == 4
+
+
+def test_anneal_lr_requires_total_iterations():
+    env = RBC3DVectorEnv(
+        num_envs=2, state_shape=(16, 32, 32), heater_duration=0.125,
+        episode_length=2, rayleigh_number=2500,
+    )
+    with pytest.raises(ValueError, match="total_iterations"):
+        PPO(
+            env,
+            RBCActorCritic(action_grid=(8, 8)),
+            PPOConfig(n_steps=2, n_epochs=1, n_minibatches=1, anneal_lr=True),
+        )
+
+
 def test_final_obs_equals_obs_when_not_truncated():
     """Property the GAE stitching relies on: on non-truncating steps the
     env's obs and final_obs are bit-identical."""

@@ -121,3 +121,46 @@ def test_checkpoint_bank_vector_reset():
     state, ts = env.step(state, jnp.zeros((4, 12)))
     assert np.all(np.asarray(ts.nusselt_state) > 1.0)  # turbulent bank states
     assert np.all(np.isfinite(np.asarray(ts.reward)))
+
+
+def test_sequential_bank_sampling_is_duplicate_free():
+    """Evaluation protocol: bank_sampling="sequential" assigns env i the
+    bank state i % bank_size (no replacement up to the bank size), and
+    ic_noise decorrelates envs that wrap onto the same bank index."""
+    bank = "/root/reference/data/checkpoints/train/ckpt_ra10000.h5"
+    env = RBC2DVectorEnv(
+        num_envs=24,  # bank has 20 states -> envs 20..23 wrap onto 0..3
+        checkpoint=bank,
+        bank_sampling="sequential",
+        heater_duration=1.5,
+        episode_length=300,
+    )
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    b = np.asarray(state.fields.b)
+    bank_b = np.asarray(env._bank.b)
+    n = bank_b.shape[0]
+    for i in range(24):
+        np.testing.assert_array_equal(b[i], bank_b[i % n])
+
+    noisy = RBC2DVectorEnv(
+        num_envs=24,
+        checkpoint=bank,
+        bank_sampling="sequential",
+        ic_noise=1e-3,
+        heater_duration=1.5,
+        episode_length=300,
+    )
+    state_n, _ = noisy.reset(jax.random.PRNGKey(0))
+    bn = np.asarray(state_n.fields.b)
+    # close to the bank state but not identical, and wrapped envs differ
+    # from their bank twins
+    assert np.abs(bn[0] - bank_b[0]).max() < 1e-2
+    assert np.abs(bn[0] - bank_b[0]).max() > 0
+    assert np.abs(bn[20] - bn[0]).max() > 0
+
+
+def test_bank_sampling_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="bank_sampling"):
+        RBC2DVectorEnv(num_envs=2, bank_sampling="nope")
