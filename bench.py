@@ -117,9 +117,14 @@ def main():
               file=sys.stderr)
 
     ok3d = False
-    for num_envs in (int(os.environ.get("BENCH_ENVS_3D", 4096)), 1024, 256):
+    attempted_3d = int(os.environ.get("BENCH_ENVS_3D", 4096))
+    for num_envs in (attempted_3d, 1024, 256):
         try:
-            print(json.dumps(run3d(num_envs)), flush=True)
+            result = run3d(num_envs)
+            # A silent drop to a smaller fleet must be visible in
+            # BENCH_r*.json, not only on stderr (verdict r2, fix #6).
+            result["num_envs_attempted"] = attempted_3d
+            print(json.dumps(result), flush=True)
             ok3d = True
             break
         except Exception as e:
@@ -129,9 +134,11 @@ def main():
         print("bench3d: ALL sizes failed — no 3D metric emitted",
               file=sys.stderr)
 
-    for num_envs in (int(os.environ.get("BENCH_ENVS", 4096)), 2048, 1024, 256):
+    attempted = int(os.environ.get("BENCH_ENVS", 4096))
+    for num_envs in (attempted, 2048, 1024, 256):
         try:
             result = run(num_envs)
+            result["num_envs_attempted"] = attempted
             print(json.dumps(result))
             return
         except Exception as e:  # OOM fallback to smaller fleets

@@ -35,7 +35,6 @@ def main():
         json.loads(line)
         for line in open(os.path.join(args.result_dir, "metrics.jsonl"))
     ]
-    it = [r["iteration"] for r in rows]
 
     def series(key):
         pts = [(r["iteration"], r[key]) for r in rows if key in r]
@@ -83,6 +82,40 @@ def main():
     out = args.out or os.path.join(args.result_dir, "curves.png")
     fig.savefig(out, dpi=130)
     print(f"wrote {out}")
+
+    # Per-step eval Nu(t) traces (trained vs baselines), if eval_baselines
+    # has been run — the direct visual of the suppression claim.
+    if os.path.isfile(bl_path):
+        bl = json.load(open(bl_path))
+        traces = {
+            name: bl[name]["nusselt_trace"]
+            for name in ("trained", "zero", "random", "proportional")
+            if name in bl and "nusselt_trace" in bl.get(name, {})
+        }
+        if traces:
+            fig2, ax = plt.subplots(figsize=(8, 4.5))
+            styles = {"trained": ("C0", "-"), "zero": ("k", "--"),
+                      "random": ("gray", ":"), "proportional": ("C2", "-.")}
+            for name, tr in traces.items():
+                color, ls = styles.get(name, ("C3", "-"))
+                ax.plot(tr, color=color, ls=ls, label=name)
+            n = len(next(iter(traces.values())))
+            ax.axvspan(n // 2, n - 1, alpha=0.08, color="C0",
+                       label="scored window (2nd half)")
+            supp = bl.get("suppression_vs_zero_pct")
+            ci = bl.get("suppression_vs_zero_ci95")
+            title = "Held-out eval: Nu(t), mean over episodes"
+            if supp is not None and ci:
+                title += (f"  —  suppression {supp:.1f}% "
+                          f"[{ci[0]:.1f}, {ci[1]:.1f}]")
+            ax.set_title(title, fontsize=10)
+            ax.set_xlabel("env step")
+            ax.set_ylabel("Nusselt")
+            ax.legend(fontsize=8)
+            fig2.tight_layout()
+            out2 = os.path.join(args.result_dir, "eval_traces.png")
+            fig2.savefig(out2, dpi=130)
+            print(f"wrote {out2}")
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ E_BLK environments.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,8 +55,6 @@ def _pad_x(q, before: int, after: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else q
 
 
-
-
 def _pad_z(q, before: int, after: int):
     """Zero pad along the z (sublane) axis."""
     zshape = list(q.shape)
@@ -72,22 +69,16 @@ def _pad_z(q, before: int, after: int):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else q
 
 
-
-
-
 def _zero_z_walls(q):
     mask = jax.lax.broadcasted_iota(jnp.int32, q.shape, dimension=1)
     interior = (mask > 0) & (mask < q.shape[1] - 1)
     return jnp.where(interior, q, 0.0)
 
 
-
 def _uw_flux_x(q, vel, m: int):
     """vel * UB5 reconstruction along periodic x in flux form (the shared
     axis-generic C6-D5 implementation; x = axis 0 here as in 3D)."""
     return _uw_flux_periodic(q, vel, 0, m)
-
-
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +323,11 @@ def make_env_step_fused_2d(
     n_substeps: int,
     e_blk: int = DEFAULT_E_BLK,
     interpret: bool = False,
-    vmem_limit_mb: int = 120,
+    # 127 MiB like the 3D kernels: with grid >= 2 Mosaic double-buffers the
+    # in/out blocks, and the pipelined whole-step kernel needs 121.04 MiB —
+    # over the old 120 MiB cap (observed as a scoped-vmem OOM at E=256
+    # inside the PPO training program; E=128 ran grid=1 and fit).
+    vmem_limit_mb: int = 127,
 ):
     """Build the whole-env-step fused function.
 

@@ -2,10 +2,13 @@
 
 Spawns two OS processes that join a jax.distributed cluster on the CPU
 backend (4 virtual devices each -> 8 global), build the ('host', 'env')
-mesh, and step the sharded 2D vector env as one SPMD program — the same
-code path as a TPU pod launch (scripts/launch_multihost.sh), minus the
-hardware. The gathered rewards must match a single-process run of the
-identical env bit-for-bit (same program, same seed, same device count).
+mesh, step the sharded 2D vector env, and run one full PPO iteration as
+one SPMD program — the same code path as a TPU pod launch
+(scripts/launch_multihost.sh), minus the hardware. The gathered rewards
+and post-update params must agree with a single-process run of the
+identical program to f32 rounding tolerance (multi-process XLA partitions
+and schedules reductions differently, so bit-exactness is not expected;
+measured disagreement is ~1e-7).
 """
 
 import os
@@ -79,6 +82,49 @@ def test_two_process_distributed_env_step(tmp_path):
         # Multi-process XLA partitions/schedules reductions differently, so
         # agreement is to f32 rounding (measured ~1e-7), not bit-exact.
         np.testing.assert_allclose(
-            gathered[i], np.asarray(ts.reward), rtol=0, atol=1e-5,
+            gathered[i], np.asarray(ts.reward), rtol=0, atol=1e-6,
             err_msg=f"step {i}: 2-process SPMD != single-process",
+        )
+
+    # ---- distributed PPO update parity --------------------------------
+    # (a) both processes hold IDENTICAL params after the update (the
+    # gradient psum is a collective — divergence here means the DCN-axis
+    # reduction is broken);
+    p0 = np.load(str(out) + ".params0.npz")
+    p1 = np.load(str(out) + ".params1.npz")
+    assert set(p0.files) == set(p1.files) and p0.files
+    for k in p0.files:
+        np.testing.assert_array_equal(
+            p0[k], p1[k],
+            err_msg=f"param {k}: processes diverged after one PPO update",
+        )
+
+    # (b) the distributed update equals a single-process 8-device run of
+    # the same program to f32 tolerance.
+    from rbc_gym_tpu.models import RBCActorCritic2D
+    from rbc_gym_tpu.rl import PPO, PPOConfig
+    from rbc_gym_tpu.parallel import shard_ppo_trainer
+
+    trainer = PPO(
+        RBC2DVectorEnv(
+            num_envs=16,
+            state_shape=(16, 32),
+            observation_shape=(8, 16),
+            heater_duration=0.3,
+            episode_length=3.0,
+        ),
+        RBCActorCritic2D(n_heaters=12),
+        PPOConfig(n_steps=2, n_epochs=2, n_minibatches=2),
+        seed=0,
+    )
+    trainer = shard_ppo_trainer(trainer, make_host_env_mesh())
+    trainer.learn(1)
+    ref_leaves = jax.tree_util.tree_leaves(trainer.train_state.params)
+    assert len(ref_leaves) == len(p0.files)
+    for i, leaf in enumerate(ref_leaves):
+        ref = np.asarray(leaf)
+        got = p0[f"p{i}"]
+        np.testing.assert_allclose(
+            got, ref, rtol=0, atol=2e-6,
+            err_msg=f"param leaf {i}: distributed != single-process update",
         )
