@@ -36,6 +36,9 @@ DEFAULT_CONFIG = {
     "rl_learning_rate": 3e-4,
     "rl_target_kl": 0.02,
     "rl_anneal_lr": False,
+    # Reference RBCNormalizeReward semantics; keeps critic return scale
+    # O(10) so its gradients don't dwarf the policy's (see run_sarl_2d).
+    "rl_normalize_reward": True,
     "rl_stat_window_size": 50,
     "rl_nr_iterations": 10,
     "rbc_heater_duration": 0.375,
@@ -163,6 +166,11 @@ def main():
     def obs_transform(o):
         return fn.normalize_observation(o, norm, channel_axis=-4)
 
+    reward_transform = None
+    if config.get("rl_normalize_reward", False):
+        scale = fn.reward_scale(config["rbc_rayleigh_number"], three_d=True)
+        reward_transform = lambda r: fn.normalize_reward(r, scale)
+
     ppo_cfg = PPOConfig(
         n_steps=config["rl_n_steps"],
         n_epochs=config["rl_n_epochs"],
@@ -182,6 +190,7 @@ def main():
         ),
         ppo_cfg,
         obs_transform=obs_transform,
+        reward_transform=reward_transform,
         seed=config["seed"],
     )
     logger.info(

@@ -36,6 +36,10 @@ DEFAULT_CONFIG = {
     "rl_learning_rate": 3e-4,
     "rl_target_kl": 0.02,
     "rl_anneal_lr": True,
+    # Reference RBCNormalizeReward (wrappers/rbc_normalize_reward.py):
+    # maps reward=-Nu into ~[0, 1] via the Nu_max power law, keeping the
+    # critic's return scale O(10) instead of O(100).
+    "rl_normalize_reward": True,
     "rl_nr_iterations": 300,
     "rl_log_std_init": -0.5,
     "rbc_heater_duration": 1.5,
@@ -126,6 +130,11 @@ def main():
     def obs_transform(o):
         return fn.normalize_observation(o, norm, channel_axis=-3)
 
+    reward_transform = None
+    if config.get("rl_normalize_reward", False):
+        scale = fn.reward_scale(config["rbc_rayleigh_number"], three_d=False)
+        reward_transform = lambda r: fn.normalize_reward(r, scale)
+
     trainer = PPO(
         env,
         RBCActorCritic2D(
@@ -143,6 +152,7 @@ def main():
             total_iterations=config["rl_nr_iterations"],
         ),
         obs_transform=obs_transform,
+        reward_transform=reward_transform,
         seed=config["seed"],
     )
     logger.info("Rollout buffer: %d timesteps (%d envs x %d steps)",

@@ -75,12 +75,16 @@ class ActorCriticNetwork(nn.Module):
     latent_shape: Tuple[int, int, int, int] = (4, 8, 8, 8)  # (D, H, W, C)
 
     @nn.compact
-    def __call__(self, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, pi_feats: jax.Array, vf_feats: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """``pi_feats``/``vf_feats`` may be the same array (shared
+        extractor, reference semantics) or come from separate extractors."""
         d, h, w, c = self.latent_shape
-        x = feats.reshape(feats.shape[0], d, h, w, c)
 
         # --- actor: conv stack collapsing depth -> (B, H*W) logits ---------
-        a = periodic_pad_3d(x)
+        a = pi_feats.reshape(pi_feats.shape[0], d, h, w, c)
+        a = periodic_pad_3d(a)
         a = nn.gelu(nn.Conv(4, (3, 3, 3), padding="VALID")(a))
         a = periodic_pad_3d(a)
         a = nn.gelu(nn.Conv(1, (3, 3, 3), padding="VALID")(a))
@@ -88,7 +92,8 @@ class ActorCriticNetwork(nn.Module):
         pi_latent = a.reshape(a.shape[0], -1)  # (B, 64)
 
         # --- critic ---------------------------------------------------------
-        v = periodic_pad_3d(x)
+        v = vf_feats.reshape(vf_feats.shape[0], d, h, w, c)
+        v = periodic_pad_3d(v)
         v = nn.gelu(nn.Conv(4, (3, 3, 3), padding="VALID")(v))
         v = periodic_pad_3d(v)
         v = nn.gelu(nn.Conv(2, (3, 3, 3), padding="VALID")(v))
@@ -117,19 +122,32 @@ class RBCActorCritic2D(nn.Module):
     n_heaters: int = 12
     hidden_channels: int = 32
     log_std_init: float = 0.0
+    # Separate actor/critic conv trunks by default. With a shared trunk
+    # the critic's large-magnitude return-regression gradients drag the
+    # policy head along and blow the per-minibatch KL past any trust
+    # region (observed: target_kl early stopping fires on the SECOND
+    # minibatch of every iteration and training stalls; without target_kl
+    # this is the round-2 divergence). The reference sets SB3's
+    # share_features_extractor=True (experiments/run_sarl.py:160) — kept
+    # available behind this flag for architecture parity.
+    shared_trunk: bool = False
 
-    @nn.compact
-    def __call__(self, obs: jax.Array):
-        x = jnp.moveaxis(obs, -3, -1)  # (B, nz, nx, C)
+    def _trunk(self, x: jax.Array) -> jax.Array:
         for _ in range(2):
             x = periodic_pad_2d(x)
             x = nn.gelu(
                 nn.Conv(self.hidden_channels, (3, 3), padding="VALID")(x)
             )
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        feats = x.reshape(x.shape[0], -1)
-        pi = nn.gelu(nn.Dense(128)(feats))
-        vf = nn.gelu(nn.Dense(128)(feats))
+        return x.reshape(x.shape[0], -1)
+
+    @nn.compact
+    def __call__(self, obs: jax.Array):
+        x = jnp.moveaxis(obs, -3, -1)  # (B, nz, nx, C)
+        pi_feats = self._trunk(x)
+        vf_feats = pi_feats if self.shared_trunk else self._trunk(x)
+        pi = nn.gelu(nn.Dense(128)(pi_feats))
+        vf = nn.gelu(nn.Dense(128)(vf_feats))
         mean = nn.Dense(self.n_heaters)(pi)
         value = nn.Dense(1)(vf)[..., 0]
         log_std = self.param(
@@ -150,12 +168,19 @@ class RBCActorCritic(nn.Module):
 
     action_grid: Tuple[int, int] = (8, 8)
     log_std_init: float = 0.0
+    # Reference parity would be True (SB3 share_features_extractor=True,
+    # experiments/run_sarl.py:160); False keeps the critic's return-scale
+    # gradients out of the actor's features — see RBCActorCritic2D.
+    share_features_extractor: bool = False
 
     @nn.compact
     def __call__(self, obs: jax.Array):
         x = jnp.moveaxis(obs, -4, -1)  # (B, nz, ny, nx, C)
         feats = FluidCNNExtractor()(x)
-        pi_latent, vf_latent = ActorCriticNetwork()(feats)
+        vf_feats = (
+            feats if self.share_features_extractor else FluidCNNExtractor()(x)
+        )
+        pi_latent, vf_latent = ActorCriticNetwork()(feats, vf_feats)
 
         s1, s2 = self.action_grid
         mean = nn.Dense(s1 * s2)(pi_latent).reshape(-1, s1, s2)

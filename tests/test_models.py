@@ -38,10 +38,38 @@ def test_extractor_feature_count():
 def test_actor_critic_latent_shapes():
     m = ActorCriticNetwork()
     feats = jnp.zeros((3, 2048))
-    params = m.init(jax.random.PRNGKey(0), feats)
-    pi, vf = m.apply(params, feats)
+    params = m.init(jax.random.PRNGKey(0), feats, feats)
+    pi, vf = m.apply(params, feats, feats)
     assert pi.shape == (3, 64)
     assert vf.shape == (3, 64)
+
+
+def test_separate_trunks_decouple_value_gradient():
+    """Default policies use separate actor/critic feature trunks: the
+    value head's gradient must not touch any parameter the action mean
+    depends on (the shared-trunk coupling stalled/diverged PPO — the
+    critic's return-scale gradients dragged the policy past target_kl)."""
+    from rbc_gym_tpu.models import RBCActorCritic2D
+
+    m = RBCActorCritic2D(n_heaters=12)
+    obs = jnp.ones((2, 3, 8, 48))
+    params = m.init(jax.random.PRNGKey(0), obs)
+
+    value_grad = jax.grad(lambda p: jnp.sum(m.apply(p, obs)[2] ** 2))(params)
+    mean_grad = jax.grad(lambda p: jnp.sum(m.apply(p, obs)[0] ** 2))(params)
+
+    flat_v = jax.tree_util.tree_flatten_with_path(value_grad)[0]
+    flat_m = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_flatten_with_path(mean_grad)[0]
+    )
+    overlap = [
+        jax.tree_util.keystr(k)
+        for k, v in flat_v
+        if float(jnp.abs(v).max()) > 0
+        and float(jnp.abs(flat_m[jax.tree_util.keystr(k)]).max()) > 0
+    ]
+    assert overlap == [], f"actor/critic gradients share params: {overlap}"
 
 
 def test_full_policy_outputs():
