@@ -152,7 +152,8 @@ class RBCActorCritic2D(nn.Module):
         value = nn.Dense(1)(vf)[..., 0]
         log_std = self.param(
             "log_std",
-            lambda key, shape: jnp.full(shape, self.log_std_init),
+            lambda key, shape: jnp.full(shape, self.log_std_init,
+                                        jnp.float32),
             (self.n_heaters,),
         )
         return mean, log_std, value
@@ -187,7 +188,8 @@ class RBCActorCritic(nn.Module):
         value = nn.Dense(1)(vf_latent)[..., 0]
         log_std = self.param(
             "log_std",
-            lambda key, shape: jnp.full(shape, self.log_std_init),
+            lambda key, shape: jnp.full(shape, self.log_std_init,
+                                        jnp.float32),
             (s1, s2),
         )
         return mean, log_std, value

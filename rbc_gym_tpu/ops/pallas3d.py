@@ -920,6 +920,7 @@ def make_stage_rk_3d(
     e_blk: int = DEFAULT_E_BLK_3D,
     interpret: bool = False,
     vmem_limit_mb: int = 127,
+    single_buffer: bool = True,
 ):
     """Build the three x-blocked fused lazy-projection RK3-stage kernels
     (in-kernel pressure correction, hydrostatic pressure, all four UB5
@@ -949,7 +950,10 @@ def make_stage_rk_3d(
     nxh = nx // _HALO
     r = x_blk // _HALO
 
-    single = pl.Buffered(buffer_count=1)
+    # buffer_count=1 halves the pipeline VMEM (no DMA/compute overlap);
+    # None restores Mosaic's default double buffering — sweepable via
+    # scripts/sweep3d.py.
+    single = pl.Buffered(buffer_count=1) if single_buffer else None
     NKS = (nz, nz, nz + 1, nz)
 
     def views(n):

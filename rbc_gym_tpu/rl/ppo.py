@@ -130,6 +130,14 @@ class PPO:
         self.train_state = TrainState.create(
             apply_fn=model.apply, params=params, tx=tx
         )
+        # TrainState.create leaves step as a python int; the first jitted
+        # iteration returns it as a concrete int32 array, which changes the
+        # input avals and forces a full SECOND trace/compile (~minutes for
+        # the big env scans). Canonicalize up front so iteration 1 hits the
+        # iteration-0 executable.
+        self.train_state = self.train_state.replace(
+            step=jnp.asarray(0, jnp.int32)
+        )
         self.last_obs = obs0
         self._iteration = jax.jit(self._iteration_impl)
         self.global_step = 0

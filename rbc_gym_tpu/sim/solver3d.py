@@ -115,6 +115,7 @@ def make_solver3d(
     fused_interpret: bool = False,
     e_blk: int = DEFAULT_E_BLK_3D,
     x_blk: int = 8,
+    single_buffer: bool = True,
 ) -> Solver3D:
     """Build the 3D solver bundle.
 
@@ -290,6 +291,7 @@ def make_solver3d(
             nx, ny, nz, dx, dy, dz,
             params.nu, params.kappa, min_b,
             x_blk=x_blk, e_blk=e_blk, interpret=fused_interpret,
+            single_buffer=single_buffer,
         )
     elif fused == "field":
         from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d

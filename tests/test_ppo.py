@@ -178,6 +178,25 @@ def test_target_kl_stops_updates():
     assert int(huge.train_state.step) == 4
 
 
+def test_iteration_compiles_once():
+    """The jitted training iteration must not retrace after the first
+    call. Historical offenders: TrainState.create's python-int step and
+    the weak-typed jnp.full log_std init, each of which changed input
+    avals after one update and silently doubled the multi-minute compile."""
+    env = RBC3DVectorEnv(
+        num_envs=2, state_shape=(16, 32, 32), heater_duration=0.125,
+        episode_length=2, rayleigh_number=2500,
+    )
+    tr = PPO(
+        env,
+        RBCActorCritic(action_grid=(8, 8)),
+        PPOConfig(n_steps=2, n_epochs=1, n_minibatches=1),
+        seed=0,
+    )
+    tr.learn(3)
+    assert tr._iteration._cache_size() == 1
+
+
 def test_anneal_lr_requires_total_iterations():
     env = RBC3DVectorEnv(
         num_envs=2, state_shape=(16, 32, 32), heater_duration=0.125,
