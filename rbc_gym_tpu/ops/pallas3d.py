@@ -952,8 +952,18 @@ def make_stage_rk_3d(
 
     # buffer_count=1 halves the pipeline VMEM (no DMA/compute overlap);
     # None restores Mosaic's default double buffering — sweepable via
-    # scripts/sweep3d.py.
-    single = pl.Buffered(buffer_count=1) if single_buffer else None
+    # scripts/sweep3d.py. single_buffer may be True (all single), False
+    # (all double) or "mixed" (narrow halo/edge views single, center
+    # blocks double: most of the overlap win at ~60% of the VMEM cost).
+    if single_buffer == "mixed":
+        single = pl.Buffered(buffer_count=1)
+        center_buf = None
+    elif single_buffer == "halo_double":
+        single = None
+        center_buf = pl.Buffered(buffer_count=1)
+    else:
+        single = pl.Buffered(buffer_count=1) if single_buffer else None
+        center_buf = single
     NKS = (nz, nz, nz + 1, nz)
 
     def views(n):
@@ -974,7 +984,7 @@ def make_stage_rk_3d(
     def center_spec(n):
         return pl.BlockSpec(
             (x_blk, n, ny, e_blk), lambda s, i: (i, 0, 0, s),
-            memory_space=pltpu.VMEM, pipeline_mode=single,
+            memory_space=pltpu.VMEM, pipeline_mode=center_buf,
         )
 
     bot_spec = pl.BlockSpec(

@@ -114,8 +114,8 @@ def make_solver3d(
     fused: bool | str | None = None,
     fused_interpret: bool = False,
     e_blk: int = DEFAULT_E_BLK_3D,
-    x_blk: int = 8,
-    single_buffer: bool = True,
+    x_blk: int | None = None,
+    single_buffer: bool | None = None,
 ) -> Solver3D:
     """Build the 3D solver bundle.
 
@@ -129,6 +129,17 @@ def make_solver3d(
     if abs(grid.lz - params.lz) > 1e-12:
         params = dataclasses.replace(params, lz=grid.lz)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
+    # Stage-kernel block geometry (measured, scripts/sweep3d.py @4096 envs,
+    # 16x32x32): x_blk=4 + Mosaic double buffering = 3832 env-steps/s vs
+    # 3300 for the previous x_blk=8 + single-buffer default (+16%); every
+    # larger block or e_blk=256 VMEM-OOMs. Grids with a bigger per-column
+    # footprint than ~2x the standard training grid keep the conservative
+    # geometry (double buffering doubles pipeline VMEM).
+    small_grid = (nz + 1) * ny <= 2 * 17 * 32
+    if x_blk is None:
+        x_blk = 4 if small_grid else 8
+    if single_buffer is None:
+        single_buffer = not small_grid
     dx, dy, dz = grid.dx, grid.dy, grid.dz
     nu_ = jnp.asarray(params.nu, dtype)
     kappa = jnp.asarray(params.kappa, dtype)
