@@ -37,6 +37,21 @@ from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
 BASELINE_SEC_PER_SIMTIME = 0.12  # README.md:62 — one env, dt=1.0 sim time
 
 
+def _roofline(kind: str, env_steps_per_sec: float, **cfg) -> dict:
+    """MFU/roofline fields (vpu_utilization_pct, hbm_utilization_pct) from
+    the XLA-cost-analysis work model (utils/roofline.py). Never fails the
+    bench — utilization is reporting, not gating."""
+    try:
+        from rbc_gym_tpu.utils import roofline as rl
+
+        cost = (rl.xla_cost_2d if kind == "2d" else rl.xla_cost_3d)(**cfg)
+        return rl.roofline_metrics(cost, env_steps_per_sec)
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"bench: roofline model failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return {}
+
+
 def run(num_envs: int, steps: int = 10) -> dict:
     env = RBC2DVectorEnv(
         num_envs=num_envs,
@@ -71,18 +86,21 @@ def run(num_envs: int, steps: int = 10) -> dict:
         "vs_baseline": round(BASELINE_SEC_PER_SIMTIME / sec_per_env_simtime, 1),
         "num_envs": num_envs,
         "sec_per_env_step": sec_per_env_step,
+        **_roofline("2d", env_steps_per_sec, state_shape=(64, 96),
+                    ra=10_000.0, heater_duration=1.5),
     }
 
 
-def run3d(num_envs: int, steps: int = 10) -> dict:
+def run3d(num_envs: int, steps: int = 10, state_shape=(16, 32, 32),
+          dt_solver: float = 0.01) -> dict:
     from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
 
     env = RBC3DVectorEnv(
         num_envs=num_envs,
         rayleigh_number=2500,
-        state_shape=(16, 32, 32),
+        state_shape=state_shape,
         heater_duration=0.125,
-        dt_solver=0.01,
+        dt_solver=dt_solver,
         episode_length=37.5,
     )
     state, _ = env.reset(jax.random.PRNGKey(0))
@@ -95,13 +113,17 @@ def run3d(num_envs: int, steps: int = 10) -> dict:
         state, ts = env.step(state, actions)
     jax.block_until_ready(ts.reward)
     elapsed = time.perf_counter() - t0
+    env_steps_per_sec = num_envs * steps / elapsed
+    nz, ny, nx = state_shape
     return {
-        "metric": "env_steps_per_sec_3d_16x32x32",
-        "value": round(num_envs * steps / elapsed, 1),
+        "metric": f"env_steps_per_sec_3d_{nz}x{ny}x{nx}",
+        "value": round(env_steps_per_sec, 1),
         "unit": "env-steps/s",
         "vs_baseline": None,  # reference publishes no 3D timing
         "num_envs": num_envs,
         "sec_per_env_step": elapsed / (num_envs * steps),
+        **_roofline("3d", env_steps_per_sec, state_shape=state_shape,
+                    ra=2500.0, heater_duration=0.125, dt_solver=dt_solver),
     }
 
 
@@ -133,6 +155,39 @@ def main():
     if not ok3d:
         print("bench3d: ALL sizes failed — no 3D metric emitted",
               file=sys.stderr)
+
+    # Big-grid 3D line: the 32x64x64 flowstats-protocol grid (dt 0.005),
+    # where VMEM pressure forces the conservative x_blk=8/single-buffer
+    # geometry (round-3 verdict, next-round #5). Fallback ladder as above.
+    attempted_big = int(os.environ.get("BENCH_ENVS_3D_BIG", 1024))
+    for num_envs in (attempted_big, 256, 64):
+        try:
+            result = run3d(num_envs, state_shape=(32, 64, 64),
+                           dt_solver=0.005)
+            result["num_envs_attempted"] = attempted_big
+            print(json.dumps(result), flush=True)
+            break
+        except Exception as e:
+            print(f"bench3d-big: {num_envs} envs failed "
+                  f"({type(e).__name__}: {e}), retrying smaller",
+                  file=sys.stderr)
+    else:
+        print("bench3d-big: ALL sizes failed — no 32x64x64 metric emitted",
+              file=sys.stderr)
+
+    # 64^3 VMEM-feasibility probe (diagnostic, small fleet, skippable via
+    # BENCH_SKIP_64CUBE=1): does the stage-kernel path compile+run at all
+    # one rung past the flowstats grid?
+    if os.environ.get("BENCH_SKIP_64CUBE", "0") != "1":
+        try:
+            result = run3d(64, steps=3, state_shape=(64, 64, 64),
+                           dt_solver=0.005)
+            result["num_envs_attempted"] = 64
+            result["note"] = "feasibility probe, not a throughput headline"
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"bench3d-64cube probe failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
 
     attempted = int(os.environ.get("BENCH_ENVS", 4096))
     for num_envs in (attempted, 2048, 1024, 256):

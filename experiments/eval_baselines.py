@@ -40,21 +40,39 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bootstrap_ci(stat_fn, data, n_boot=10_000, alpha=0.05, seed=0):
+def bootstrap_ci(stat_fn, data, n_boot=10_000, alpha=0.05, seed=0,
+                 clusters=None):
     """Percentile bootstrap CI for stat_fn over episode-axis resamples.
 
     ``data`` is a tuple of arrays whose FIRST axis is episodes; resampling
     is paired (the same episode indices are used for every array).
+
+    ``clusters`` (optional, (episodes,) int array): episodes sharing a
+    bank initial condition are only decorrelated by the small ic_noise
+    kick, so treating them as independent would make the CI
+    anti-conservative. When given, the bootstrap resamples CLUSTERS with
+    replacement and keeps each sampled cluster's episodes together
+    (cluster/block bootstrap). Degenerate resamples (stat_fn returns
+    NaN, e.g. a zero denominator) are excluded via nanquantile.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     n = data[0].shape[0]
-    stats = np.empty(n_boot)
-    for i in range(n_boot):
-        idx = rng.integers(0, n, size=n)
-        stats[i] = stat_fn(*(d[idx] for d in data))
-    lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
+    if clusters is not None and len(np.unique(clusters)) < n:
+        groups = [np.where(clusters == c)[0] for c in np.unique(clusters)]
+        m = len(groups)
+        stats = np.empty(n_boot)
+        for i in range(n_boot):
+            gidx = rng.integers(0, m, size=m)
+            idx = np.concatenate([groups[g] for g in gidx])
+            stats[i] = stat_fn(*(d[idx] for d in data))
+    else:
+        stats = np.empty(n_boot)
+        for i in range(n_boot):
+            idx = rng.integers(0, n, size=n)
+            stats[i] = stat_fn(*(d[idx] for d in data))
+    lo, hi = np.nanquantile(stats, [alpha / 2, 1 - alpha / 2])
     return float(lo), float(hi)
 
 
@@ -120,7 +138,14 @@ def main():
             heater_segments=s,
             **env_kwargs,
         )
-        model = RBCActorCritic(action_grid=(s, s))
+        # reconstruct the exact trained architecture (the trunk flag is
+        # persisted in config.yaml by run_sarl.py — round-3 advice)
+        model = RBCActorCritic(
+            action_grid=(s, s),
+            share_features_extractor=bool(
+                config.get("rl_share_features_extractor", False)
+            ),
+        )
         norm = fn.make_obs_norm_3d(
             ra=config["rbc_rayleigh_number"],
             heater_limit=config["rbc_heater_limit"],
@@ -155,6 +180,7 @@ def main():
         model = RBCActorCritic2D(
             n_heaters=s,
             log_std_init=config.get("rl_log_std_init", 0.0),
+            shared_trunk=bool(config.get("rl_shared_trunk", False)),
         )
         norm = fn.make_obs_norm_2d(heater_limit=config["rbc_heater_limit"])
         channel_axis = -3
@@ -176,6 +202,9 @@ def main():
             return jnp.clip(-prop_gain * fluct, -1.0, 1.0)
 
     bank_size = int(env._bank.b.shape[0])
+    # sequential sampling: episode i starts from bank state i % bank_size,
+    # so wrapped episodes cluster on their shared IC for the bootstrap
+    ic_clusters = np.arange(args.episodes) % bank_size
     state0, obs0 = env.reset(jax.random.PRNGKey(args.seed))
     obs_n = fn.normalize_observation(obs0, norm, channel_axis=channel_axis)
     params = model.init(jax.random.PRNGKey(0), obs_n)
@@ -218,7 +247,7 @@ def main():
         half = nus[nus.shape[0] // 2:]
         ep = half.mean(axis=0)  # (episodes,) paired by initial condition
         per_episode[name] = ep
-        lo, hi = bootstrap_ci(lambda e: e.mean(), (ep,))
+        lo, hi = bootstrap_ci(lambda e: e.mean(), (ep,), clusters=ic_clusters)
         results[name] = {
             "nusselt_mean": float(nus.mean()),
             "nusselt_std_across_episodes": float(nus.mean(axis=0).std()),
@@ -239,10 +268,14 @@ def main():
         if not np.isfinite(denom) or abs(denom) < 1e-9:
             return None
         point = 100.0 * (denom - t.mean()) / denom
-        lo, hi = bootstrap_ci(
-            lambda te, ze: 100.0 * (ze.mean() - te.mean()) / ze.mean(),
-            (t, z),
-        )
+
+        def stat(te, ze):
+            zm = ze.mean()
+            if not np.isfinite(zm) or abs(zm) < 1e-9:
+                return np.nan  # degenerate resample; nanquantile drops it
+            return 100.0 * (zm - te.mean()) / zm
+
+        lo, hi = bootstrap_ci(stat, (t, z), clusters=ic_clusters)
         return {"pct": float(point), "ci95": [lo, hi]}
 
     supp = suppression("trained")

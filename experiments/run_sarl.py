@@ -50,6 +50,10 @@ DEFAULT_CONFIG = {
     "rbc_checkpoint": None,  # path to a 3D bank; None = random ICs
     "rbc_checkpoint_idx": None,
     "rl_log_std_init": 0.0,  # reference/SB3 default exploration scale
+    # Persisted architecture flag (round-3 advice): separate actor/critic
+    # extractors (False) is what learns; True restores reference parity
+    # (SB3 share_features_extractor=True, ref experiments/run_sarl.py:160).
+    "rl_share_features_extractor": False,
     "seed": 0,
 }
 
@@ -81,6 +85,11 @@ def parse_args():
 def main():
     args = parse_args()
     config = dict(DEFAULT_CONFIG)
+    # A resumed run MUST rebuild the exact same trainer structure; the
+    # frozen snapshot in the output dir is the source of truth there.
+    frozen = os.path.join(args.output_dir, "config.yaml")
+    if args.resume_training and os.path.isfile(frozen) and args.config is None:
+        args.config = frozen
     if args.config and os.path.isfile(args.config):
         import yaml
 
@@ -139,7 +148,6 @@ def main():
         EvaluationCallback,
         MetricsLogger,
         NusseltCallback,
-        load_params,
     )
     from rbc_gym_tpu.wrappers import functional as fn
 
@@ -187,6 +195,9 @@ def main():
         RBCActorCritic(
             action_grid=(s, s),
             log_std_init=config.get("rl_log_std_init", 0.0),
+            share_features_extractor=bool(
+                config.get("rl_share_features_extractor", False)
+            ),
         ),
         ppo_cfg,
         obs_transform=obs_transform,
@@ -210,21 +221,17 @@ def main():
         )
 
     ckpt_dir = os.path.join(args.output_dir, "models", "checkpoints")
-    if args.resume_training and os.path.isdir(ckpt_dir):
-        ckpts = sorted(os.listdir(ckpt_dir))
-        if ckpts:
-            path = os.path.join(ckpt_dir, ckpts[-1])
-            logger.info("Resuming from %s", path)
-            params = load_params(trainer.train_state.params, path)
-            trainer.train_state = trainer.train_state.replace(params=params)
-
     steps_per_ep = env.episode_steps
     # Order matters: callbacks that ADD metrics (Nusselt, Evaluation) must
     # run before the sinks (MetricsLogger, W&B) or eval/* never reaches
     # metrics.jsonl.
+    # CheckpointCallback runs LAST so the full-state snapshot captures the
+    # other callbacks' post-iteration state (wall-clock offset after any
+    # eval compile, best-model scores).
+    ckpt_cb = CheckpointCallback(ckpt_dir, save_freq=4)
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
     callbacks = [
         NusseltCallback(),
-        CheckpointCallback(ckpt_dir, save_freq=4),
         EvaluationCallback(
             eval_env,
             n_steps=steps_per_ep,
@@ -233,17 +240,45 @@ def main():
             save_path=os.path.join(args.output_dir, "models"),
             obs_transform=obs_transform,
         ),
-        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
+        MetricsLogger(metrics_path),
+        ckpt_cb,
     ]
     if args.wandb:
         from rbc_gym_tpu.rl import WandbCallback
 
-        callbacks.append(
+        callbacks.insert(  # before ckpt_cb, which must stay last
+            len(callbacks) - 1,
             WandbCallback(project="rbc-3D-rl", config=config,
-                          dir=args.output_dir)
+                          dir=args.output_dir,
+                          model_save_path=os.path.join(args.output_dir,
+                                                       "models")),
+        )
+    callbacks = tuple(callbacks)
+    ckpt_cb.sibling_callbacks = callbacks
+
+    start_iteration = 0
+    if args.resume_training:
+        from rbc_gym_tpu.rl import (
+            restore_training_state,
+            truncate_metrics_jsonl,
         )
 
-    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=tuple(callbacks))
+        if not os.path.isfile(ckpt_cb.full_path):
+            raise FileNotFoundError(
+                f"--resume_training: no full checkpoint at {ckpt_cb.full_path}"
+            )
+        start_iteration = restore_training_state(
+            ckpt_cb.full_path, trainer, callbacks=callbacks
+        )
+        kept = truncate_metrics_jsonl(metrics_path, start_iteration - 1)
+        logger.info("Resuming at iteration %d (%d metrics records kept)",
+                    start_iteration, kept)
+        if jax.device_count() > 1 and config["rl_n_envs"] % jax.device_count() == 0:
+            # restore loads host numpy arrays — re-lay them out on the mesh
+            trainer = shard_ppo_trainer(trainer, make_host_env_mesh())
+
+    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=callbacks,
+                            start_iteration=start_iteration)
     logger.info("Final metrics: %s", json.dumps(metrics, indent=2))
 
     from rbc_gym_tpu.rl import save_params

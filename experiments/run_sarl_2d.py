@@ -50,6 +50,11 @@ DEFAULT_CONFIG = {
     "rbc_observation_shape": [8, 48],
     "rbc_state_shape": [64, 96],
     "rbc_checkpoint": "data/checkpoints/train/ckpt_ra10000.h5",
+    # Architecture flag persisted so eval tooling reconstructs the exact
+    # model that was trained (round-3 advice): separate actor/critic conv
+    # trunks (False) is the configuration that learns — see
+    # models/flax_nets.py RBCActorCritic2D.shared_trunk.
+    "rl_shared_trunk": False,
     "seed": 0,
 }
 
@@ -60,6 +65,9 @@ def parse_args():
     datestring = datetime.now().strftime("%Y%m%d_%H%M%S")
     p.add_argument("--output_dir", type=str,
                    default=f"results/run2d_{datestring}")
+    p.add_argument("--resume_training", action="store_true",
+                   help="resume from <output_dir>/models/checkpoints/"
+                        "latest_full.npz (full state: optimizer, env, PRNG)")
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--n_steps", type=int, default=None)
@@ -70,6 +78,11 @@ def parse_args():
 def main():
     args = parse_args()
     config = dict(DEFAULT_CONFIG)
+    # A resumed run MUST rebuild the exact same trainer structure; the
+    # frozen snapshot in the output dir is the source of truth there.
+    frozen = os.path.join(args.output_dir, "config.yaml")
+    if args.resume_training and os.path.isfile(frozen) and args.config is None:
+        args.config = frozen
     if args.config and os.path.isfile(args.config):
         import yaml
 
@@ -140,6 +153,7 @@ def main():
         RBCActorCritic2D(
             n_heaters=env.params.n_heaters,
             log_std_init=config["rl_log_std_init"],
+            shared_trunk=bool(config.get("rl_shared_trunk", False)),
         ),
         PPOConfig(
             n_steps=config["rl_n_steps"],
@@ -158,12 +172,17 @@ def main():
     logger.info("Rollout buffer: %d timesteps (%d envs x %d steps)",
                 buffer, config["rl_n_envs"], config["rl_n_steps"])
 
+    ckpt_cb = CheckpointCallback(
+        os.path.join(args.output_dir, "models", "checkpoints"),
+        save_freq=10,
+    )
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    # Metric-ADDING callbacks (Nusselt, Evaluation) precede the sinks;
+    # CheckpointCallback runs LAST so the full-state snapshot captures the
+    # other callbacks' post-iteration state (incl. the wall-clock offset
+    # AFTER any eval compile — keeps resumed wall_time monotone).
     callbacks = (
         NusseltCallback(),
-        CheckpointCallback(
-            os.path.join(args.output_dir, "models", "checkpoints"),
-            save_freq=10,
-        ),
         EvaluationCallback(
             eval_env,
             n_steps=min(eval_env.episode_steps, 100),
@@ -172,9 +191,31 @@ def main():
             save_path=os.path.join(args.output_dir, "models"),
             obs_transform=obs_transform,
         ),
-        MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl")),
+        MetricsLogger(metrics_path),
+        ckpt_cb,
     )
-    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=callbacks)
+    ckpt_cb.sibling_callbacks = callbacks
+
+    start_iteration = 0
+    if args.resume_training:
+        from rbc_gym_tpu.rl import (
+            restore_training_state,
+            truncate_metrics_jsonl,
+        )
+
+        if not os.path.isfile(ckpt_cb.full_path):
+            raise FileNotFoundError(
+                f"--resume_training: no full checkpoint at {ckpt_cb.full_path}"
+            )
+        start_iteration = restore_training_state(
+            ckpt_cb.full_path, trainer, callbacks=callbacks
+        )
+        kept = truncate_metrics_jsonl(metrics_path, start_iteration - 1)
+        logger.info("Resuming at iteration %d (%d metrics records kept)",
+                    start_iteration, kept)
+
+    metrics = trainer.learn(config["rl_nr_iterations"], callbacks=callbacks,
+                            start_iteration=start_iteration)
     logger.info("Final metrics: %s", json.dumps(metrics, indent=2))
 
     from rbc_gym_tpu.rl import save_params

@@ -85,7 +85,21 @@ class RBC2DVectorEnv:
         bank size — for evaluation). ``ic_noise`` adds a Gaussian kick of
         that amplitude to bank states at reset so lockstep envs sharing a
         bank index decorrelate (evaluation with more episodes than bank
-        states)."""
+        states).
+
+        Sequential sampling governs explicit ``reset()`` calls only:
+        mid-run autoresets draw RANDOM bank states, so evaluation
+        protocols relying on the duplicate-free guarantee must pass
+        ``auto_reset=False`` (a warning is emitted otherwise)."""
+        if bank_sampling == "sequential" and auto_reset:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bank_sampling='sequential' with auto_reset=True: "
+                "mid-episode autoresets draw random bank states — the "
+                "duplicate-free guarantee only covers the initial "
+                "reset(). Pass auto_reset=False for evaluation."
+            )
         self.num_envs = num_envs
         nz, nx = state_shape
         self.grid = Grid2D(nx=nx, nz=nz, lx=2 * np.pi, lz=2.0)

@@ -63,7 +63,30 @@ class RBC3DVectorEnv:
     ):
         """``bank_sampling`` / ``ic_noise``: see RBC2DVectorEnv — sequential
         duplicate-free bank draws and IC decorrelation noise for
-        evaluation."""
+        evaluation.
+
+        ``bank_sampling="sequential"`` governs explicit ``reset()`` calls
+        only: env i gets bank state ``i % bank_size``. Mid-run autoresets
+        draw RANDOM bank states, so evaluation protocols that rely on the
+        duplicate-free guarantee must pass ``auto_reset=False`` (a warning
+        is emitted otherwise). ``checkpoint_idx`` (pin every env to one
+        bank state) contradicts sequential sampling and raises."""
+        if bank_sampling == "sequential":
+            if checkpoint_idx is not None:
+                raise ValueError(
+                    "checkpoint_idx and bank_sampling='sequential' conflict: "
+                    "sequential assigns env i bank state i % bank_size, "
+                    "checkpoint_idx pins all envs to one state"
+                )
+            if auto_reset:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bank_sampling='sequential' with auto_reset=True: "
+                    "mid-episode autoresets draw random bank states — the "
+                    "duplicate-free guarantee only covers the initial "
+                    "reset(). Pass auto_reset=False for evaluation."
+                )
         self.num_envs = num_envs
         nz, ny, nx = state_shape
         lz, ly, lx = domain

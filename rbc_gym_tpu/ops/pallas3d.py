@@ -955,6 +955,15 @@ def make_stage_rk_3d(
     # scripts/sweep3d.py. single_buffer may be True (all single), False
     # (all double) or "mixed" (narrow halo/edge views single, center
     # blocks double: most of the overlap win at ~60% of the VMEM cost).
+    if isinstance(single_buffer, str) and single_buffer not in (
+        "mixed", "halo_double"
+    ):
+        # a typo like "double" would otherwise be truthy and silently
+        # select all-single buffering (round-3 advice)
+        raise ValueError(
+            f"single_buffer={single_buffer!r}: expected bool, 'mixed', "
+            "or 'halo_double'"
+        )
     if single_buffer == "mixed":
         single = pl.Buffered(buffer_count=1)
         center_buf = None

@@ -10,8 +10,16 @@ from rbc_gym_tpu.rl.callbacks import (
     load_params,
     save_params,
 )
+from rbc_gym_tpu.rl.checkpoint import (
+    restore_training_state,
+    save_training_state,
+    truncate_metrics_jsonl,
+)
 
 __all__ = [
+    "restore_training_state",
+    "save_training_state",
+    "truncate_metrics_jsonl",
     "PPO",
     "PPOConfig",
     "Transition",

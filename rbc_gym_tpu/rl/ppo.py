@@ -378,10 +378,17 @@ class PPO:
         self,
         iterations: int,
         callbacks: Tuple[Callable, ...] = (),
+        start_iteration: int = 0,
     ) -> Dict[str, float]:
-        """Run training iterations; callbacks(metrics_dict, trainer) per iter."""
+        """Run training iterations; callbacks(metrics_dict, trainer) per iter.
+
+        ``start_iteration`` continues the iteration numbering after a
+        checkpoint restore (rl/checkpoint.py) — the loop runs
+        ``iterations - start_iteration`` more iterations, exactly the
+        remainder of an interrupted ``iterations``-long run.
+        """
         metrics_np: Dict[str, float] = {}
-        for it in range(iterations):
+        for it in range(start_iteration, iterations):
             (
                 self.train_state,
                 self.env_state,

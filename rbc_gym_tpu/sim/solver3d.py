@@ -135,7 +135,14 @@ def make_solver3d(
     # larger block or e_blk=256 VMEM-OOMs. Grids with a bigger per-column
     # footprint than ~2x the standard training grid keep the conservative
     # geometry (double buffering doubles pipeline VMEM).
-    small_grid = (nz + 1) * ny <= 2 * 17 * 32
+    # The footprint scales with e_blk too: the measured OOM boundary is at
+    # the DEFAULT_E_BLK_3D geometry, so an explicit larger e_blk must fall
+    # back to the conservative x_blk=8/single-buffer defaults (round-3
+    # advice: e_blk=256 + x_blk=4/double OOMs on the training grid).
+    small_grid = (
+        (nz + 1) * ny * max(e_blk, DEFAULT_E_BLK_3D)
+        <= 2 * 17 * 32 * DEFAULT_E_BLK_3D
+    )
     if x_blk is None:
         x_blk = 4 if small_grid else 8
     if single_buffer is None:

@@ -1,0 +1,175 @@
+"""Roofline/utilization model for the bench headline numbers.
+
+Emits ``vpu_utilization_pct`` / ``mxu_utilization_pct`` /
+``hbm_min_utilization_pct`` per bench config (round-3 verdict, next-round
+#3) from an ANALYTIC flop/byte model of the fused kernels:
+
+* **MXU (Poisson)** — the spectral solve is dense-transform matmuls with
+  exactly known shapes, one solve per RK3 stage. The closed forms below
+  were validated against XLA's ``cost_analysis()`` of the compiled
+  solver: 2D ``2*(2*nx + nz)`` flops/point/solve and 3D
+  ``4*nx*nz + 4*ny`` flops/point/solve match the HLO-counted totals to
+  the flop (tests/test_roofline.py).
+* **VPU (stencils)** — per-point flop counts derived from the fused
+  kernel structure (C6−D5 flux factorization, see the constants'
+  comments and docs/PERF_NOTES_3D.md). XLA's count of the *unfused*
+  parity path is ~3-5x higher (it materializes both one-sided UB5
+  branches plus selects) and would nonsense the utilization of the
+  fused kernels, so it is not used for the VPU term.
+* **HBM** — the minimum streaming bound: field state read + written once
+  per env step. The fully VMEM-resident 2D whole-step kernel actually
+  achieves this; the 3D per-stage pipeline streams fields every stage,
+  so its real traffic is ~3*substeps higher (the number is a lower
+  bound there, reported as such).
+
+Peaks (TPU v5e, one chip; stated so the numbers are auditable):
+
+* VPU f32: 128 lanes x 8 sublanes x 2 flops (FMA) x ~1.67 GHz
+  ~= 3.4 TFLOP/s (single-FMA-issue nominal; docs/PERF_NOTES_3D.md's
+  "~2 TFLOP/s" working figure was the conservative end of the same
+  estimate).
+* MXU f32: 197 bf16 TFLOP/s / 4 ~= 49 TFLOP/s (f32 matmul runs at a
+  fraction of the bf16 rate; 1/4 is the conservative public figure).
+* HBM: 819 GB/s (v5e datasheet figure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VPU_PEAK_F32_FLOPS = 3.4e12
+MXU_PEAK_F32_FLOPS = 49e12
+HBM_PEAK_BYTES_PER_S = 819e9
+
+POISSON_SOLVES_PER_SUBSTEP = 3  # one pressure projection per RK3 stage
+
+# Fused-kernel VPU work per grid point per RK stage, flops. Derivation
+# (2D, ops/pallas2d.py whole-step kernel): 3 advected fields x [2 axes x
+# (C6 6-tap recon ~11 + D5 5-tap ~11 + v*C6 - |v|*D5/60 combine ~4) +
+# flux divergence ~4] = 168; diffusion Laplacians 3 x ~10 = 30;
+# hydrostatic/buoyancy/pressure gradients ~15; RK update 3 x 4 = 12;
+# divergence + velocity correction glue ~15. Total ~240.
+VPU_FLOPS_PER_POINT_STAGE_2D = 240.0
+# 3D (ops/pallas3d.py stage kernel): 4 fields x [3 axes x 26 + 4] = 328;
+# diffusion 4 x 12 = 48; RK update 16; hydrostatic prefix-sum ~5;
+# in-kernel correction + divergence ~25. Total ~420 (PERF_NOTES_3D's
+# "~400 flops/point" UB5 estimate, refined for the shipped C6-D5 form).
+VPU_FLOPS_PER_POINT_STAGE_3D = 420.0
+
+
+def poisson_mxu_flops_per_point_2d(nx: int, nz: int) -> float:
+    """(nx,nx) DFT fwd + batched (nz,nz) modal inverse + (nx,nx) inverse
+    DFT: 2*nx + 2*nz + 2*nx flops per point per solve."""
+    return 2.0 * (2 * nx + nz)
+
+
+def poisson_mxu_flops_per_point_3d(nx: int, ny: int, nz: int) -> float:
+    """One dense (nx*nz)^2 analysis matmul + its inverse (2*nx*nz each)
+    plus the batched y-DFT forward + inverse (2*ny each), per point per
+    solve. The elementwise modal reciprocal (~1 flop) is ignored."""
+    return 4.0 * nx * nz + 4.0 * ny
+
+
+def _metrics(vpu_per_step, mxu_per_step, bytes_per_step, n_substeps):
+    return {
+        "vpu_flops_per_env_step": vpu_per_step,
+        "mxu_flops_per_env_step": mxu_per_step,
+        "min_hbm_bytes_per_env_step": bytes_per_step,
+        "n_substeps": n_substeps,
+    }
+
+
+def cost_2d(state_shape=(64, 96), heater_duration: float = 1.5,
+            dt_solver: float = 0.03, **_unused) -> dict:
+    nz, nx = state_shape
+    points = nx * nz
+    n_sub = int(round(heater_duration / dt_solver))
+    stages = 3 * n_sub
+    vpu = VPU_FLOPS_PER_POINT_STAGE_2D * points * stages
+    mxu = (
+        poisson_mxu_flops_per_point_2d(nx, nz)
+        * points * POISSON_SOLVES_PER_SUBSTEP * n_sub
+    )
+    # Fields2D: u (nx,nz), w (nx,nz+1), b, p_hy, p_nhs (nx,nz) f32,
+    # read + written once per env step.
+    field_bytes = 4 * (4 * points + nx * (nz + 1))
+    return _metrics(vpu, mxu, 2.0 * field_bytes, n_sub)
+
+
+def cost_3d(state_shape=(16, 32, 32), heater_duration: float = 0.125,
+            dt_solver: float = 0.01, lz: float = 2.0, **_unused) -> dict:
+    nz, ny, nx = state_shape
+    points = nx * ny * nz
+    # clipped-substep count (SimParams3D.substep_dts): full steps + one
+    # remainder step when heater_duration isn't an integer multiple
+    total, dt = heater_duration, dt_solver
+    n_full = int(total / dt + 1e-9)
+    n_sub = n_full + (1 if total - n_full * dt > 1e-12 else 0)
+    stages = 3 * n_sub
+    vpu = VPU_FLOPS_PER_POINT_STAGE_3D * points * stages
+    mxu = (
+        poisson_mxu_flops_per_point_3d(nx, ny, nz)
+        * points * POISSON_SOLVES_PER_SUBSTEP * n_sub
+    )
+    # Fields3D: u,v,b,p_hy,p_nhs (nx,ny,nz) + w (nx,ny,nz+1) f32.
+    field_bytes = 4 * (5 * points + nx * ny * (nz + 1))
+    return _metrics(vpu, mxu, 2.0 * field_bytes, n_sub)
+
+
+# bench.py compatibility aliases (the model needs no device compile)
+xla_cost_2d = cost_2d
+xla_cost_3d = cost_3d
+
+
+def roofline_metrics(cost: dict, env_steps_per_sec: float) -> dict:
+    """Utilization fields to merge into a bench JSON record."""
+    if not cost or not env_steps_per_sec:
+        return {}
+    vpu = cost["vpu_flops_per_env_step"] * env_steps_per_sec
+    mxu = cost["mxu_flops_per_env_step"] * env_steps_per_sec
+    bw = cost["min_hbm_bytes_per_env_step"] * env_steps_per_sec
+    return {
+        "model_vpu_flops_per_env_step": cost["vpu_flops_per_env_step"],
+        "model_mxu_flops_per_env_step": cost["mxu_flops_per_env_step"],
+        "achieved_vpu_tflops": round(vpu / 1e12, 3),
+        "vpu_utilization_pct": round(100.0 * vpu / VPU_PEAK_F32_FLOPS, 1),
+        "achieved_mxu_tflops": round(mxu / 1e12, 3),
+        "mxu_utilization_pct": round(100.0 * mxu / MXU_PEAK_F32_FLOPS, 1),
+        "min_hbm_gbps": round(bw / 1e9, 1),
+        "hbm_min_utilization_pct": round(
+            100.0 * bw / HBM_PEAK_BYTES_PER_S, 1
+        ),
+    }
+
+
+# ---------------------------------------------------------------------
+# Validation hook: the analytic MXU closed forms vs XLA's HLO flop count
+# of the compiled spectral solver (used by tests/test_roofline.py).
+def xla_poisson_flops_per_point(dim: str, state_shape) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    if dim == "2d":
+        from rbc_gym_tpu.ops.poisson import make_poisson_solver_2d_bm
+        from rbc_gym_tpu.sim.grid import Grid2D
+
+        nz, nx = state_shape
+        grid = Grid2D(nx=nx, nz=nz, lx=2 * np.pi, lz=2.0)
+        solve = make_poisson_solver_2d_bm(nx, nz, grid.dx, grid.dz)
+        rhs = jnp.zeros((nx, nz, 8), jnp.float32)
+        points = nx * nz * 8
+    else:
+        from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d_bm
+        from rbc_gym_tpu.sim.grid import Grid3D
+
+        nz, ny, nx = state_shape
+        grid = Grid3D(nx=nx, ny=ny, nz=nz, lx=4 * np.pi, ly=4 * np.pi,
+                      lz=2.0)
+        solve = make_poisson_solver_3d_bm(nx, ny, nz, grid.dx, grid.dy,
+                                          grid.dz)
+        rhs = jnp.zeros((nx, nz, ny, 8), jnp.float32)
+        points = nx * ny * nz * 8
+    ca = jax.jit(solve).lower(rhs).compile().cost_analysis()
+    if not ca or "flops" not in ca:
+        return float("nan")
+    return float(ca["flops"]) / points

@@ -1,0 +1,196 @@
+"""Interrupted-run resume: the full-state checkpoint must reproduce an
+uninterrupted run's trajectory exactly.
+
+The reference's SB3 checkpoints are resumable (its experiments/
+run_sarl.py:219-225 saves optimizer-bearing zips + replay buffer +
+vecnormalize state); this suite's rl/checkpoint.py serializes the
+TrainState (params + Adam moments + schedule count), env state, PRNG keys,
+and counters. Protocol (round-3 verdict, next-round #2): run A
+uninterrupted; run B the same config but stop mid-way with a checkpoint;
+run C restores B's checkpoint and continues — C's post-resume metrics must
+match A's at the same iterations.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rbc_gym_tpu.envs.vector2d import RBC2DVectorEnv
+from rbc_gym_tpu.models import RBCActorCritic2D
+from rbc_gym_tpu.rl import (
+    PPO,
+    PPOConfig,
+    CheckpointCallback,
+    EvaluationCallback,
+    MetricsLogger,
+    NusseltCallback,
+    restore_training_state,
+    save_training_state,
+    truncate_metrics_jsonl,
+)
+
+TOTAL_ITERS = 5
+STOP_AFTER = 3  # B runs iterations 0..2, C resumes at 3
+
+
+def _make_trainer():
+    env = RBC2DVectorEnv(
+        num_envs=2,
+        state_shape=(32, 48),
+        observation_shape=(8, 24),
+        heater_segments=12,
+        heater_duration=1.5,
+        episode_length=6.0,  # 4 steps/episode -> truncation inside the run
+        rayleigh_number=10_000,
+    )
+    cfg = PPOConfig(
+        n_steps=4,
+        n_epochs=2,
+        n_minibatches=2,
+        # exercise the two pieces a params-only "resume" loses: the Adam
+        # moments and the LR-schedule position
+        anneal_lr=True,
+        total_iterations=TOTAL_ITERS,
+        target_kl=0.05,
+    )
+    model = RBCActorCritic2D(n_heaters=12, log_std_init=-0.5)
+    return PPO(env, model, cfg, seed=0)
+
+
+class Recorder:
+    def __init__(self):
+        self.records = []
+
+    def __call__(self, metrics, trainer):
+        self.records.append(dict(metrics))
+
+
+@pytest.fixture(scope="module")
+def runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("resume")
+
+    # --- A: uninterrupted reference run ------------------------------
+    rec_a = Recorder()
+    trainer_a = _make_trainer()
+    cbs_a = (NusseltCallback(), rec_a)
+    trainer_a.learn(TOTAL_ITERS, callbacks=cbs_a)
+
+    # --- B: same config, stops after STOP_AFTER iterations -----------
+    rec_b = Recorder()
+    trainer_b = _make_trainer()
+    ckpt_cb = CheckpointCallback(str(tmp / "ckpts"), save_freq=1)
+    nus_b = NusseltCallback()
+    logger_b = MetricsLogger(str(tmp / "metrics.jsonl"))
+    cbs_b = (nus_b, rec_b, ckpt_cb, logger_b)
+    ckpt_cb.sibling_callbacks = cbs_b
+    trainer_b.learn(STOP_AFTER, callbacks=cbs_b)
+
+    # --- C: fresh process stand-in, restores B's checkpoint ----------
+    rec_c = Recorder()
+    trainer_c = _make_trainer()
+    nus_c = NusseltCallback()
+    logger_c = MetricsLogger(str(tmp / "metrics.jsonl"))
+    cbs_c = (nus_c, rec_c, logger_c)
+    start = restore_training_state(
+        ckpt_cb.full_path, trainer_c, callbacks=cbs_c
+    )
+    truncate_metrics_jsonl(str(tmp / "metrics.jsonl"), start - 1)
+    trainer_c.learn(TOTAL_ITERS, callbacks=cbs_c, start_iteration=start)
+
+    return tmp, rec_a, rec_b, rec_c, trainer_a, trainer_c, nus_c, start
+
+
+def test_resume_starts_where_b_stopped(runs):
+    _, rec_a, rec_b, rec_c, _, _, _, start = runs
+    assert start == STOP_AFTER
+    assert [r["iteration"] for r in rec_b.records] == list(range(STOP_AFTER))
+    assert [r["iteration"] for r in rec_c.records] == list(
+        range(STOP_AFTER, TOTAL_ITERS)
+    )
+
+
+def test_resumed_metrics_match_uninterrupted(runs):
+    """C's post-resume iterations reproduce A's — params, Adam moments,
+    LR-schedule position, env fields, and PRNG stream all survived."""
+    _, rec_a, _, rec_c, *_ = runs
+    ref = {r["iteration"]: r for r in rec_a.records}
+    for rc in rec_c.records:
+        ra = ref[rc["iteration"]]
+        for k, v in rc.items():
+            if isinstance(v, float):
+                np.testing.assert_allclose(
+                    v, ra[k], rtol=1e-5, atol=1e-7,
+                    err_msg=f"iteration {rc['iteration']}, metric {k}",
+                )
+
+
+def test_resumed_final_params_match(runs):
+    _, _, _, _, trainer_a, trainer_c, *_ = runs
+    leaves_a = jax.tree_util.tree_leaves(trainer_a.train_state.params)
+    leaves_c = jax.tree_util.tree_leaves(trainer_c.train_state.params)
+    for a, c in zip(leaves_a, leaves_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-7)
+    # optimizer state survived too (Adam moments drive the next update)
+    opt_a = jax.tree_util.tree_leaves(trainer_a.train_state.opt_state)
+    opt_c = jax.tree_util.tree_leaves(trainer_c.train_state.opt_state)
+    assert len(opt_a) == len(opt_c)
+    for a, c in zip(opt_a, opt_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_schedule_step_survives(runs):
+    """A params-only reload would restart TrainState.step at 0; the full
+    checkpoint keeps the applied-update count (and thus the annealed LR)."""
+    _, _, _, _, trainer_a, trainer_c, *_ = runs
+    assert int(trainer_a.train_state.step) == int(trainer_c.train_state.step)
+    assert int(trainer_c.train_state.step) > 0
+
+
+def test_callback_state_survives(runs):
+    _, rec_a, _, _, _, _, nus_c, _ = runs
+    # running-min Nusselt carried across the restart: C's history covers
+    # all TOTAL_ITERS iterations, and its min equals A's
+    assert len(nus_c.history) == TOTAL_ITERS
+    a_min = min(r["rollout/nusselt_min"] for r in rec_a.records)
+    np.testing.assert_allclose(nus_c.best_nusselt, a_min, rtol=1e-5)
+
+
+def test_metrics_jsonl_continuous(runs):
+    """truncate + append yields one seamless metrics file: iterations
+    0..TOTAL_ITERS-1 exactly once, monotone wall_time."""
+    import json
+
+    tmp = runs[0]
+    with open(tmp / "metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert [r["iteration"] for r in recs] == list(range(TOTAL_ITERS))
+    walls = [r["wall_time"] for r in recs]
+    assert walls == sorted(walls)
+
+
+def test_restore_rejects_mismatched_architecture(runs, tmp_path):
+    tmp = runs[0]
+    env = RBC2DVectorEnv(
+        num_envs=2,
+        state_shape=(32, 48),
+        observation_shape=(8, 24),
+        heater_segments=12,
+        heater_duration=1.5,
+        episode_length=6.0,
+        rayleigh_number=10_000,
+    )
+    other = PPO(
+        env,
+        RBCActorCritic2D(n_heaters=12, hidden_channels=16),  # different net
+        PPOConfig(n_steps=4, n_epochs=2, n_minibatches=2),
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        restore_training_state(
+            str(tmp / "ckpts" / "latest_full.npz"), other
+        )
