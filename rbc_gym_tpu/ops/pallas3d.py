@@ -608,6 +608,8 @@ def _stage_rk_kernel(
     gamma: float,
     zeta: float,
     emit_g: bool,
+    emit_rhat: bool = False,
+    nxb: int = 0,
 ):
     """One full RK3 stage for one (env-slab, x-block) grid step: in-kernel
     pressure correction of the previous stage's fields (lazy projection),
@@ -650,13 +652,26 @@ def _stage_rk_kernel(
     if with_gprev:
         gp["u"], gp["v"], gp["w"], gp["b"], gp["u_edge"] = rest[:5]
         rest = rest[5:]
+    ta_r = None
+    if emit_rhat:
+        # last input (after bot/g_prev): this x-block's column slab of the
+        # Poisson analysis matrix T_A^T, (1, x_blk*nz, nx*nz)
+        ta_r = rest[0]
+        rest = rest[1:]
     g_out = {}
     if emit_g:
         g_out["u"], g_out["v"], g_out["w"], g_out["b"] = rest[:4]
         rest = rest[4:]
     f_out = dict(zip("uvwb", rest[:4]))
-    div_r = rest[4]
-    gu_scr = rest[5]
+    if emit_rhat:
+        # outputs replace div with rhat; scratches are [gu_scr, rhat_scr]
+        rhat_out = rest[4]
+        gu_scr = rest[5]
+        rhat_scr = rest[6]
+        div_r = None
+    else:
+        div_r = rest[4]
+        gu_scr = rest[5]
 
     def ext(h_r, c_r, H_r, right=3):
         """(x_blk+3+right, nk, ny, E) extended slab; ext coord 0 = real -3."""
@@ -808,11 +823,42 @@ def _stage_rk_kernel(
     # ---- divergence of the updated (unprojected) fields for the next
     # Poisson solve: ddx needs u* at the right block face, which is the
     # extra column carried in u_new; v*/w* wrap in-sublane (full ny/nz).
-    div_r[...] = (
+    div = (
         centerN(_xv_dd_f2c((u_new, 3), dx), x_blk)
         + o["ddy_f2c"](f_out["v"][...])
         + o["ddz_f2c"](f_out["w"][...])
     )
+    if not emit_rhat:
+        div_r[...] = div
+        return
+
+    # ---- in-kernel Poisson analysis: accumulate rhat += T_A[:, blk] @ div
+    # over the x-block grid steps (MXU work interleaved with the VPU
+    # tendency work above), emitting the (x,z)-modal RHS directly — the
+    # div never round-trips HBM and the analysis matmul rides under the
+    # stage's VPU shadow. The XLA side finishes with
+    # ops/poisson.make_poisson_tail_3d_bm (docs/PERF_NOTES_3D.md round-4).
+    xb, zb, yb, eb = div.shape
+    part = jax.lax.dot_general(
+        ta_r[0],  # (x_blk*nz, nx*nz): rows = this block's merged (x,z)
+        div.reshape(xb * zb, yb, eb),
+        ((( 0,), (0,)), ((), ())),
+        preferred_element_type=div.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (nx*nz, ny, e_blk)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        rhat_scr[...] = part
+
+    @pl.when(i != 0)
+    def _acc():
+        rhat_scr[...] = rhat_scr[...] + part
+
+    @pl.when(i == nxb - 1)
+    def _flush():
+        rhat_out[...] = rhat_scr[...]
 
 
 def _div_kernel(refs, *, dx, dy, dz):
@@ -921,6 +967,7 @@ def make_stage_rk_3d(
     interpret: bool = False,
     vmem_limit_mb: int = 127,
     single_buffer: bool = True,
+    emit_rhat: bool = False,
 ):
     """Build the three x-blocked fused lazy-projection RK3-stage kernels
     (in-kernel pressure correction, hydrostatic pressure, all four UB5
@@ -1016,6 +1063,26 @@ def make_stage_rk_3d(
         vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
     )
 
+    K = nx * nz
+    ta_blocks = None
+    if emit_rhat:
+        from rbc_gym_tpu.ops.poisson import poisson_analysis_matrix_3d
+
+        # T_A^T chunked by x-block: block i holds the (x_blk*nz, K) rows
+        # pairing with divergence x-block i (x-major (x,z) merge).
+        ta_blocks = jnp.asarray(
+            poisson_analysis_matrix_3d(nx, nz).T.reshape(nxb, x_blk * nz, K),
+            jnp.float32,
+        )
+        ta_spec = pl.BlockSpec(
+            (1, x_blk * nz, K), lambda s, i: (i, 0, 0),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+        rhat_spec = pl.BlockSpec(
+            (K, ny, e_blk), lambda s, i: (0, 0, s),
+            memory_space=pltpu.VMEM, pipeline_mode=center_buf,
+        )
+
     def build(m):
         gamma, zeta = _RK3_GAMMA[m], _RK3_ZETA[m]
         emit_g = m < 2
@@ -1025,6 +1092,7 @@ def make_stage_rk_3d(
             x_blk=x_blk, nz=nz, dx=dx, dy=dy, dz=dz,
             nu=nu, kappa=kappa, min_b=min_b,
             gamma=gamma, zeta=zeta, emit_g=emit_g,
+            emit_rhat=emit_rhat, nxb=nxb,
         )
         in_specs = (
             [dt_spec]
@@ -1036,10 +1104,13 @@ def make_stage_rk_3d(
                 if with_gprev
                 else []
             )
+            + ([ta_spec] if emit_rhat else [])
         )
         out_specs = (
             [center_spec(n) for n in NKS] if emit_g else []
-        ) + [center_spec(n) for n in NKS] + [center_spec(nz)]
+        ) + [center_spec(n) for n in NKS] + [
+            rhat_spec if emit_rhat else center_spec(nz)
+        ]
 
         def stage(u, v, w, b, q, bottom, dt, g_prev=None):
             e = u.shape[-1]
@@ -1049,7 +1120,9 @@ def make_stage_rk_3d(
             field_shapes = [
                 jax.ShapeDtypeStruct((nx, n, ny, e), dtype) for n in NKS
             ]
-            div_shape = jax.ShapeDtypeStruct((nx, nz, ny, e), dtype)
+            div_shape = jax.ShapeDtypeStruct(
+                (K, ny, e) if emit_rhat else (nx, nz, ny, e), dtype
+            )
             out_shape = (
                 (field_shapes if emit_g else []) + field_shapes + [div_shape]
             )
@@ -1058,6 +1131,11 @@ def make_stage_rk_3d(
                     bottom]
             if with_gprev:
                 args += list(g_prev) + [g_prev[0]]
+            if emit_rhat:
+                args.append(ta_blocks.astype(dtype))
+            scratch_shapes = [pltpu.VMEM((x_blk + 1, nz, ny, e_blk), dtype)]
+            if emit_rhat:
+                scratch_shapes.append(pltpu.VMEM((K, ny, e_blk), dtype))
             outs = pl.pallas_call(
                 kernel,
                 grid=(e // e_blk, nxb),
@@ -1066,9 +1144,7 @@ def make_stage_rk_3d(
                 out_shape=out_shape,
                 compiler_params=compiler_params,
                 interpret=interpret,
-                scratch_shapes=[
-                    pltpu.VMEM((x_blk + 1, nz, ny, e_blk), dtype)
-                ],
+                scratch_shapes=scratch_shapes,
             )(*args)
             if emit_g:
                 return tuple(outs[4:]) + tuple(outs[:4])

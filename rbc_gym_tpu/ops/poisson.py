@@ -205,23 +205,74 @@ def make_poisson_solver_3d_bm(
         dinv = np.where(np.abs(lam) < 1e-12, 0.0, 1.0 / lam)
     dinv = dinv.reshape(nx * nz, ny)
 
-    t_a = jnp.asarray(t_a, dtype)
+    t_a_j = jnp.asarray(t_a, dtype)
+    tail = _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype)
+
+    def solve(rhs: jax.Array) -> jax.Array:
+        e = rhs.shape[-1]
+        q = rhs.reshape(nx * nz, ny, e)
+        rhat = jnp.einsum("KM,Mye->Kye", t_a_j, q, precision=_HIGHEST)
+        return tail(rhat)
+
+    return solve
+
+
+def _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype):
     t_s = jnp.asarray(t_s, dtype)
     fy_ = jnp.asarray(fy, dtype)
     gy_ = jnp.asarray(gy, dtype)
     dinv = jnp.asarray(dinv, dtype)
 
-    def solve(rhs: jax.Array) -> jax.Array:
-        e = rhs.shape[-1]
-        q = rhs.reshape(nx * nz, ny, e)
-        rhat = jnp.einsum("KM,Mye->Kye", t_a, q, precision=_HIGHEST)
+    def tail(rhat: jax.Array) -> jax.Array:
+        """Finish the solve from ``rhat = T_A @ rhs`` (the (x,z)-modal
+        analysis): y-DFT, elementwise modal reciprocal, inverse y-DFT,
+        (x,z) synthesis. ``rhat``: (nx*nz, ny, E) -> (nx, nz, ny, E)."""
+        e = rhat.shape[-1]
         rhat = jnp.einsum("ly,Kye->Kle", fy_, rhat, precision=_HIGHEST)
         phat = rhat * dinv[:, :, None]
         p = jnp.einsum("yl,Kle->Kye", gy_, phat, precision=_HIGHEST)
         p = jnp.einsum("MK,Kye->Mye", t_s, p, precision=_HIGHEST)
         return p.reshape(nx, nz, ny, e)
 
-    return solve
+    return tail
+
+
+def poisson_analysis_matrix_3d(nx: int, nz: int) -> np.ndarray:
+    """The (x,z)-modal analysis matrix T_A = kron(Fx, Cz), float64.
+
+    ``rhat = T_A @ rhs.reshape(nx*nz, ...)`` with x-major row merge — the
+    first einsum of ``make_poisson_solver_3d_bm``. Exposed so the Pallas
+    stage kernel can accumulate the analysis over its x-blocks on the MXU
+    (column block i of T_A pairs with x-block i of the divergence) and
+    emit ``rhat`` directly; ``make_poisson_tail_3d_bm`` then finishes the
+    solve."""
+    fx, _, _ = _real_dft_matrices(nx)
+    cz, _, _ = _dct2_matrices(nz, 1.0)  # dz only enters eigenvalues
+    return np.kron(fx, cz)
+
+
+def make_poisson_tail_3d_bm(
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    dtype=jnp.float32,
+):
+    """Tail of the batch-minor 3D solve for callers that already hold
+    ``rhat`` (see ``poisson_analysis_matrix_3d``)."""
+    _, gx, rows_x = _real_dft_matrices(nx)
+    lx = _dft_eigenvalues(nx, dx)[rows_x]
+    fy, gy, rows_y = _real_dft_matrices(ny)
+    ly = _dft_eigenvalues(ny, dy)[rows_y]
+    _, sz, lz = _dct2_matrices(nz, dz)
+    t_s = np.kron(gx, sz)
+    lam = lx[:, None, None] + lz[None, :, None] + ly[None, None, :]
+    with np.errstate(divide="ignore"):
+        dinv = np.where(np.abs(lam) < 1e-12, 0.0, 1.0 / lam)
+    dinv = dinv.reshape(nx * nz, ny)
+    return _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype)
 
 
 def make_poisson_solver_3d(

@@ -302,15 +302,25 @@ def make_solver3d(
     _fused_tend = None
     _stage_rk = None
     _glue = None
+    _poisson_tail = None
+    in_kernel_poisson = fused == "stage_qp"
+    if in_kernel_poisson:
+        fused = "stage"
     if fused == "stage":
         from rbc_gym_tpu.ops.pallas3d import make_stage_rk_3d
+        from rbc_gym_tpu.ops.poisson import make_poisson_tail_3d_bm
 
         _stage_rk = make_stage_rk_3d(
             nx, ny, nz, dx, dy, dz,
             params.nu, params.kappa, min_b,
             x_blk=x_blk, e_blk=e_blk, interpret=fused_interpret,
             single_buffer=single_buffer,
+            emit_rhat=in_kernel_poisson,
         )
+        if in_kernel_poisson:
+            _poisson_tail = make_poisson_tail_3d_bm(
+                nx, ny, nz, dx, dy, dz, dtype
+            )
     elif fused == "field":
         from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d
 
@@ -340,13 +350,14 @@ def make_solver3d(
         the solve is linear, so dt_stage only enters the stored pressure,
         recovered by env_step's final materializing correction); p_hy is
         STALE inside the scan — env_step refreshes it once afterwards."""
+        solve = _poisson_tail if in_kernel_poisson else poisson_bm
         u, v, w, b, q = f.u, f.v, f.w, f.b, f.p_nhs
         u, v, w, b, div, *g = _stage_rk[0](u, v, w, b, q, bottom_b, dt)
-        q = poisson_bm(div)
+        q = solve(div)
         u, v, w, b, div, *g = _stage_rk[1](u, v, w, b, q, bottom_b, dt, tuple(g))
-        q = poisson_bm(div)
+        q = solve(div)
         u, v, w, b, div = _stage_rk[2](u, v, w, b, q, bottom_b, dt, tuple(g))
-        q = poisson_bm(div)
+        q = solve(div)
         return Fields3D(u, v, w, b, f.p_hy, q)
 
     def substep_bm_fused(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:

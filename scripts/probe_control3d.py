@@ -30,6 +30,10 @@ def main():
                    help="zero-action steps before the controlled phase "
                         "(equilibrate random ICs at Ra values with no bank)")
     p.add_argument("--gains", default="0.3,1.0,3.0,10.0")
+    p.add_argument("--segments", type=int, default=8,
+                   help="heater grid size S (SxS tiles) — finer tilings "
+                        "probe whether actuation resolution limits control")
+    p.add_argument("--heater-limit", type=float, default=0.9)
     p.add_argument("--seed", type=int, default=7)
     args = p.parse_args()
 
@@ -44,6 +48,8 @@ def main():
         num_envs=args.episodes,
         rayleigh_number=args.ra,
         heater_duration=args.heater_duration,
+        heater_segments=args.segments,
+        heater_limit=args.heater_limit,
         checkpoint=args.bank if use_bank else None,
         auto_reset=False,
     )

@@ -93,3 +93,50 @@ def test_fused_divergence_free(solvers):
         + st.ddz_f2c(out.w, GRID.dz)
     )
     assert np.max(np.abs(div)) < 5e-4  # float32 projection residual
+
+
+@pytest.fixture(scope="module")
+def stage_qp_solver():
+    """fused='stage_qp': stage kernel with the in-kernel Poisson analysis
+    (rhat accumulation over x-blocks) + XLA solve tail."""
+    return make_solver3d(
+        GRID, SimParams3D(), dtype=jnp.float32, fused="stage_qp",
+        fused_interpret=True, e_blk=2, x_blk=8,
+    )
+
+
+def test_stage_qp_env_step_matches_xla(solvers, stage_qp_solver):
+    """In-kernel analysis accumulation changes only the f32 contraction
+    ORDER of the analysis einsum; the env step must stay within the same
+    tolerance as the other fused paths."""
+    sx, _ = solvers
+    f = sx.init_random(jax.random.PRNGKey(0), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    fx = jax.jit(sx.env_step)(f, a)
+    fs = jax.jit(stage_qp_solver.env_step)(f, a)
+    for name in ("u", "v", "w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fs, name)),
+            np.asarray(getattr(fx, name)),
+            atol=5e-6,
+            err_msg=f"field {name}",
+        )
+
+
+def test_stage_qp_divergence_free(stage_qp_solver):
+    from rbc_gym_tpu.ops import stencils as st
+
+    sq = stage_qp_solver
+    f = sq.init_random(jax.random.PRNGKey(2), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    out = jax.jit(sq.env_step)(f, a)
+    div = np.asarray(
+        st.ddx_f2c(out.u, GRID.dx, axis=-3)
+        + st.ddx_f2c(out.v, GRID.dy, axis=-2)
+        + st.ddz_f2c(out.w, GRID.dz)
+    )
+    assert np.max(np.abs(div)) < 5e-4
