@@ -78,8 +78,12 @@ def test_params_update_and_finite(trained):
 
 def test_checkpoint_roundtrip(trained):
     trainer, _, _, tmp = trained
-    files = sorted(os.listdir(tmp / "ckpts"))
+    all_files = sorted(os.listdir(tmp / "ckpts"))
+    files = [f for f in all_files if f.endswith(".msgpack")]
     assert files, "no checkpoints written"
+    # the resumable full-state snapshot rides alongside the params-only
+    # msgpack files (rl/checkpoint.py)
+    assert "latest_full.npz" in all_files
     restored = load_params(
         trainer.train_state.params, str(tmp / "ckpts" / files[0])
     )
