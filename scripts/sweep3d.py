@@ -7,7 +7,12 @@ trade halo-read overhead, DMA/compute overlap, and VMEM headroom. This
 sweeps x_blk x single_buffer at the bench config (16x32x32, 13 substeps)
 and prints env-steps/s.
 
-Usage: python scripts/sweep3d.py [num_envs] [steps]
+Usage: python scripts/sweep3d.py [num_envs] [steps] [nz ny nx [dt_solver]] [--fused=stage|stage_qp]
+
+The optional grid args sweep other shapes (e.g. the 32x64x64 flowstats
+grid at dt 0.005, where VMEM pressure forces different geometry than the
+training grid — round-3 verdict #5); buffering modes include the mixed
+halo/center variants.
 """
 
 import os
@@ -32,20 +37,30 @@ from rbc_gym_tpu.sim.solver3d import SimParams3D, make_solver3d
 
 
 def main():
-    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fused = "stage"
+    for a in sys.argv[1:]:
+        if a.startswith("--fused="):
+            fused = a.split("=", 1)[1]
+    num_envs = int(argv[0]) if len(argv) > 0 else 4096
+    steps = int(argv[1]) if len(argv) > 1 else 10
+    nz, ny, nx = (
+        (int(argv[2]), int(argv[3]), int(argv[4]))
+        if len(argv) > 4 else (16, 32, 32)
+    )
+    dt_solver = float(argv[5]) if len(argv) > 5 else 0.01
 
-    grid = Grid3D(nx=32, ny=32, nz=16, lx=4 * np.pi, ly=4 * np.pi, lz=2.0)
-    params = SimParams3D(ra=2500, heater_duration=0.125, dt_solver=0.01)
+    grid = Grid3D(nx=nx, ny=ny, nz=nz, lx=4 * np.pi, ly=4 * np.pi, lz=2.0)
+    params = SimParams3D(ra=2500, heater_duration=0.125, dt_solver=dt_solver)
 
     key = jax.random.PRNGKey(0)
     actions = jnp.zeros((num_envs, 8, 8), jnp.float32)
 
     for x_blk in (4, 8, 16, 32):
-        for single in (True, False):
+        for single in (True, False, "mixed", "halo_double"):
             try:
                 solver = make_solver3d(
-                    grid, params, fused="stage", x_blk=x_blk,
+                    grid, params, fused=fused, x_blk=x_blk,
                     single_buffer=single,
                 )
                 fields = solver.init_random(key, batch_shape=(num_envs,))
@@ -57,11 +72,11 @@ def main():
                     f = step(f, actions)
                 jax.block_until_ready(f.b)
                 dt = time.perf_counter() - t0
-                print(f"x_blk={x_blk:2d} single_buffer={single}: "
+                print(f"x_blk={x_blk:2d} single_buffer={single!s:12}: "
                       f"{num_envs * steps / dt:8.1f} env-steps/s", flush=True)
             except Exception as e:
                 msg = str(e).split("\n")[0][:120]
-                print(f"x_blk={x_blk:2d} single_buffer={single}: FAILED "
+                print(f"x_blk={x_blk:2d} single_buffer={single!s:12}: FAILED "
                       f"({type(e).__name__}: {msg})", flush=True)
 
 
