@@ -94,7 +94,11 @@ def main():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--prop_gain", type=float, default=None,
                    help="gain of the proportional-control baseline "
-                        "(default: 10.0 in 2D, 0.3 in 3D)")
+                        "(default: 10.0 in 2D, 0.3 in 3D) — tune per Ra "
+                        "with scripts/probe_control{2d,3d}.py so the "
+                        "baseline is the BEST linear law, not a stale one")
+    p.add_argument("--prop_row", type=int, default=1,
+                   help="observation z-row the proportional law senses")
     args = p.parse_args()
 
     import yaml
@@ -163,7 +167,7 @@ def main():
         def proportional(obs, key):
             # Oppose the tile-averaged near-bottom temperature fluctuation
             # (scripts/probe_control3d.py).
-            t = obs[:, 0, 1]  # (E, ny, nx), z row 1
+            t = obs[:, 0, args.prop_row]  # (E, ny, nx)
             tiles = t.reshape(t.shape[0], s, py, s, px).mean(axis=(2, 4))
             fluct = tiles - tiles.mean(axis=(-2, -1), keepdims=True)
             return jnp.clip(-prop_gain * fluct, -1.0, 1.0)
@@ -196,7 +200,7 @@ def main():
             # Oppose the segment-averaged near-bottom temperature
             # fluctuation (scripts/probe_control2d.py: row 1, gain 10 gives
             # ~+11% suppression at Ra 1e4).
-            t_row = obs[:, 0, 1, :]  # (E, nx_obs)
+            t_row = obs[:, 0, args.prop_row, :]  # (E, nx_obs)
             t_seg = t_row.reshape(t_row.shape[0], s, per_seg).mean(-1)
             fluct = t_seg - t_seg.mean(axis=-1, keepdims=True)
             return jnp.clip(-prop_gain * fluct, -1.0, 1.0)
@@ -286,6 +290,8 @@ def main():
         results[f"suppression_{name}_vs_zero"] = sp
     results["bank"] = bank
     results["bank_size"] = bank_size
+    results["prop_gain"] = prop_gain
+    results["prop_row"] = args.prop_row
     results["ic_duplication"] = -(-args.episodes // bank_size)  # ceil
     results["ic_noise"] = args.ic_noise
     results["model"] = args.model
