@@ -60,6 +60,7 @@ class RBC3DVectorEnv:
         ic_noise: float = 0.0,
         dtype=jnp.float32,
         fused=None,
+        poisson_precision: Optional[str] = None,
     ):
         """``bank_sampling`` / ``ic_noise``: see RBC2DVectorEnv — sequential
         duplicate-free bank draws and IC decorrelation noise for
@@ -114,7 +115,8 @@ class RBC3DVectorEnv:
         self.dtype = dtype
         self.checkpoint_idx = checkpoint_idx
         self.solver = make_solver3d(
-            self.grid, self.params, dtype=dtype, fused=fused
+            self.grid, self.params, dtype=dtype, fused=fused,
+            poisson_precision=poisson_precision,
         )
 
         self._bank = None

@@ -179,6 +179,7 @@ def make_poisson_solver_3d_bm(
     dy: float,
     dz: float,
     dtype=jnp.float32,
+    precision=None,
 ):
     """Batch-minor 3D solver: RHS (nx, nz, ny, E) -> pressure, zero-mean mode.
 
@@ -206,32 +207,36 @@ def make_poisson_solver_3d_bm(
     dinv = dinv.reshape(nx * nz, ny)
 
     t_a_j = jnp.asarray(t_a, dtype)
-    tail = _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype)
+    prec = precision if precision is not None else _HIGHEST
+    tail = _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype,
+                                    prec)
 
     def solve(rhs: jax.Array) -> jax.Array:
         e = rhs.shape[-1]
         q = rhs.reshape(nx * nz, ny, e)
-        rhat = jnp.einsum("KM,Mye->Kye", t_a_j, q, precision=_HIGHEST)
+        rhat = jnp.einsum("KM,Mye->Kye", t_a_j, q, precision=prec)
         return tail(rhat)
 
     return solve
 
 
-def _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype):
+def _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype,
+                             precision=None):
     t_s = jnp.asarray(t_s, dtype)
     fy_ = jnp.asarray(fy, dtype)
     gy_ = jnp.asarray(gy, dtype)
     dinv = jnp.asarray(dinv, dtype)
+    prec = precision if precision is not None else _HIGHEST
 
     def tail(rhat: jax.Array) -> jax.Array:
         """Finish the solve from ``rhat = T_A @ rhs`` (the (x,z)-modal
         analysis): y-DFT, elementwise modal reciprocal, inverse y-DFT,
         (x,z) synthesis. ``rhat``: (nx*nz, ny, E) -> (nx, nz, ny, E)."""
         e = rhat.shape[-1]
-        rhat = jnp.einsum("ly,Kye->Kle", fy_, rhat, precision=_HIGHEST)
+        rhat = jnp.einsum("ly,Kye->Kle", fy_, rhat, precision=prec)
         phat = rhat * dinv[:, :, None]
-        p = jnp.einsum("yl,Kle->Kye", gy_, phat, precision=_HIGHEST)
-        p = jnp.einsum("MK,Kye->Mye", t_s, p, precision=_HIGHEST)
+        p = jnp.einsum("yl,Kle->Kye", gy_, phat, precision=prec)
+        p = jnp.einsum("MK,Kye->Mye", t_s, p, precision=prec)
         return p.reshape(nx, nz, ny, e)
 
     return tail
@@ -259,6 +264,7 @@ def make_poisson_tail_3d_bm(
     dy: float,
     dz: float,
     dtype=jnp.float32,
+    precision=None,
 ):
     """Tail of the batch-minor 3D solve for callers that already hold
     ``rhat`` (see ``poisson_analysis_matrix_3d``)."""
@@ -272,7 +278,8 @@ def make_poisson_tail_3d_bm(
     with np.errstate(divide="ignore"):
         dinv = np.where(np.abs(lam) < 1e-12, 0.0, 1.0 / lam)
     dinv = dinv.reshape(nx * nz, ny)
-    return _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype)
+    return _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype,
+                                    precision)
 
 
 def make_poisson_solver_3d(

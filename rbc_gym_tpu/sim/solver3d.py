@@ -116,6 +116,7 @@ def make_solver3d(
     e_blk: int = DEFAULT_E_BLK_3D,
     x_blk: int | None = None,
     single_buffer: bool | None = None,
+    poisson_precision: str | None = None,
 ) -> Solver3D:
     """Build the 3D solver bundle.
 
@@ -152,7 +153,19 @@ def make_solver3d(
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    poisson_bm = make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz, dtype)
+    # MXU matmul precision for the spectral solve. "highest" (default) is
+    # 6-pass f32-exact; "high" is 3-pass bf16x3 (~f32 accuracy: measured
+    # q rel-err 3.3e-5 at the training grid) and cuts the solve ~31% —
+    # see docs/PERF_NOTES_3D.md round-4. Physics CIs and parity banks
+    # stay at the default.
+    _prec = {
+        None: None,
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[poisson_precision]
+    poisson_bm = make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz, dtype,
+                                           precision=_prec)
     x_centers = grid.x_centers()
     y_centers = grid.y_centers()
     dts = params.substep_dts()
@@ -319,7 +332,7 @@ def make_solver3d(
         )
         if in_kernel_poisson:
             _poisson_tail = make_poisson_tail_3d_bm(
-                nx, ny, nz, dx, dy, dz, dtype
+                nx, ny, nz, dx, dy, dz, dtype, precision=_prec
             )
     elif fused == "field":
         from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d
