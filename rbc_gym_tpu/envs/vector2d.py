@@ -77,6 +77,7 @@ class RBC2DVectorEnv:
         bank_sampling: str = "random",
         ic_noise: float = 0.0,
         dtype=jnp.float32,
+        poisson_precision: Optional[str] = None,
     ):
         """``bank_sampling``: how reset draws initial conditions from a
         checkpoint bank — "random" (reference semantics, random episode
@@ -119,7 +120,8 @@ class RBC2DVectorEnv:
         self.bank_sampling = bank_sampling
         self.ic_noise = float(ic_noise)
         self.dtype = dtype
-        self.solver = make_solver2d(self.grid, self.params, dtype=dtype)
+        self.solver = make_solver2d(self.grid, self.params, dtype=dtype,
+                                    poisson_precision=poisson_precision)
 
         self._bank = None
         if checkpoint is not None:

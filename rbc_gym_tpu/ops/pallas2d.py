@@ -227,6 +227,7 @@ def _env_step_kernel(
     min_b: float,
     dx: float,
     dz: float,
+    poisson_precision=_HI,
 ):
     """The ENTIRE env step (n_substeps x RK3 + projections) for one env slab.
 
@@ -261,17 +262,21 @@ def _env_step_kernel(
         return -jnp.transpose(t, (1, 0, 2))
 
     def poisson(rhs):
+        # MXU precision is configurable for the spectral solve only (HIGH
+        # = bf16x3, ~f32 accuracy at ~half the passes of HIGHEST — see
+        # docs/PERF_NOTES_3D.md round-4); the hydrostatic contraction
+        # above stays exact.
         rhat = jax.lax.dot_general(
             f_mat, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=poisson_precision,
         )
         phat = jax.lax.dot_general(
             inv_rows, rhat, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=poisson_precision,
         )
         return jax.lax.dot_general(
             g_mat, phat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=poisson_precision,
         )
 
     def substep(carry, _):
@@ -328,6 +333,7 @@ def make_env_step_fused_2d(
     # over the old 120 MiB cap (observed as a scoped-vmem OOM at E=256
     # inside the PPO training program; E=128 ran grid=1 and fit).
     vmem_limit_mb: int = 127,
+    poisson_precision: str = "highest",
 ):
     """Build the whole-env-step fused function.
 
@@ -362,6 +368,11 @@ def make_env_step_fused_2d(
         min_b=min_b,
         dx=dx,
         dz=dz,
+        poisson_precision={
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[poisson_precision],
     )
 
     def field_spec(nk):

@@ -120,7 +120,8 @@ def make_poisson_solver_2d(
 
 
 def make_poisson_solver_2d_bm(
-    nx: int, nz: int, dx: float, dz: float, dtype=jnp.float32
+    nx: int, nz: int, dx: float, dz: float, dtype=jnp.float32,
+    precision=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Batch-minor variant: RHS shaped (nx, nz, E) with the env axis minor.
 
@@ -136,11 +137,12 @@ def make_poisson_solver_2d_bm(
     g_mat = jnp.asarray(g_mat, dtype)
     # inv_rows[m, f, z]: output row f, contraction z
     inv_rows = jnp.asarray(np.swapaxes(inv_rows, -1, -2), dtype)
+    prec = precision if precision is not None else _HIGHEST
 
     def solve(rhs: jax.Array) -> jax.Array:
-        rhat = jnp.einsum("mx,xze->mze", f_mat, rhs, precision=_HIGHEST)
-        phat = jnp.einsum("mfz,mze->mfe", inv_rows, rhat, precision=_HIGHEST)
-        return jnp.einsum("xm,mfe->xfe", g_mat, phat, precision=_HIGHEST)
+        rhat = jnp.einsum("mx,xze->mze", f_mat, rhs, precision=prec)
+        phat = jnp.einsum("mfz,mze->mfe", inv_rows, rhat, precision=prec)
+        return jnp.einsum("xm,mfe->xfe", g_mat, phat, precision=prec)
 
     return solve
 

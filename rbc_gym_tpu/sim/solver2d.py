@@ -144,6 +144,7 @@ def make_solver2d(
     fused: bool | None = None,
     fused_interpret: bool = False,
     e_blk: int = DEFAULT_E_BLK,
+    poisson_precision: str | None = None,
 ) -> Solver2D:
     """Build the 2D solver function bundle.
 
@@ -160,7 +161,18 @@ def make_solver2d(
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    poisson_bm = make_poisson_solver_2d_bm(nx, nz, dx, dz, dtype)
+    # Spectral-solve MXU precision: "highest" (default, 6-pass f32-exact)
+    # or "high" (bf16x3, ~f32 accuracy, ~half the MXU passes) — both the
+    # in-kernel dots and this XLA-path solver use the same setting so the
+    # fused-vs-XLA parity gate stays meaningful. See PERF_NOTES_3D round-4.
+    _prec_name = poisson_precision or "highest"
+    _prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[_prec_name]
+    poisson_bm = make_poisson_solver_2d_bm(nx, nz, dx, dz, dtype,
+                                           precision=_prec)
     x_centers = grid.x_centers()
 
     # Batch-minor layout inside the substep loop: fields are (nx, nz[+1], E)
@@ -238,6 +250,7 @@ def make_solver2d(
             params.nu, params.kappa, min_b,
             params.substeps_per_env_step,
             e_blk=e_blk, interpret=fused_interpret,
+            poisson_precision=_prec_name,
         )
 
     def substep_bm_fused(f: Fields2D, bottom_b: jax.Array) -> Fields2D:

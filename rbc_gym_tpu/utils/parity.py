@@ -37,6 +37,7 @@ def fused_parity_2d(
     state_shape=(64, 96),
     atol: float = ATOL_DEFAULT,
     check: bool = True,
+    poisson_precision=None,
 ) -> float:
     """Max abs field difference, fused whole-step 2D kernel vs XLA path,
     after ``steps`` env steps from the same random IC on the active
@@ -51,8 +52,10 @@ def fused_parity_2d(
     nz, nx = state_shape
     grid = Grid2D(nx=nx, nz=nz, lx=2 * np.pi, lz=2.0)
     params = SimParams2D(ra=ra, heater_duration=0.18)  # 6 substeps
-    s_xla = make_solver2d(grid, params, dtype=jnp.float32, fused=False)
-    s_fus = make_solver2d(grid, params, dtype=jnp.float32, fused=True)
+    s_xla = make_solver2d(grid, params, dtype=jnp.float32, fused=False,
+                          poisson_precision=poisson_precision)
+    s_fus = make_solver2d(grid, params, dtype=jnp.float32, fused=True,
+                          poisson_precision=poisson_precision)
 
     f = s_xla.init_random(jax.random.PRNGKey(0), batch_shape=(num_envs,))
     a = jax.random.uniform(
@@ -78,6 +81,7 @@ def fused_parity_3d(
     fused: str = "stage",
     atol: float = ATOL_DEFAULT,
     check: bool = True,
+    poisson_precision=None,
 ) -> float:
     """Max abs field difference, Pallas 3D path (``"stage"`` or
     ``"field"``) vs the XLA path, after ``steps`` env steps."""
@@ -89,8 +93,10 @@ def fused_parity_3d(
         nx=nx, ny=ny, nz=nz, lx=4 * np.pi, ly=4 * np.pi, lz=2.0
     )
     params = SimParams3D(ra=ra, heater_duration=0.03)  # 3 substeps
-    s_xla = make_solver3d(grid, params, dtype=jnp.float32, fused=False)
-    s_pal = make_solver3d(grid, params, dtype=jnp.float32, fused=fused)
+    s_xla = make_solver3d(grid, params, dtype=jnp.float32, fused=False,
+                          poisson_precision=poisson_precision)
+    s_pal = make_solver3d(grid, params, dtype=jnp.float32, fused=fused,
+                          poisson_precision=poisson_precision)
 
     f = s_xla.init_random(jax.random.PRNGKey(0), batch_shape=(num_envs,))
     a = jax.random.uniform(
