@@ -54,3 +54,33 @@ def test_poisson_3d_residual():
     pz = np.concatenate([p[..., :1], p, p[..., -1:]], axis=-1)
     lap += (pz[..., 2:] - 2 * p + pz[..., :-2]) / dz**2
     np.testing.assert_allclose(lap, rhs, atol=1e-9)
+
+
+def test_poisson_precision_option_plumbed():
+    """poisson_precision is accepted end-to-end and rejects unknown names.
+    (On CPU the XLA matmul precision is a no-op, so results are identical;
+    the on-TPU accuracy/speed table lives in docs/PERF_NOTES_3D.md r4.)"""
+    import pytest
+
+    from rbc_gym_tpu.sim.grid import Grid2D, Grid3D
+    from rbc_gym_tpu.sim.solver2d import SimParams2D, make_solver2d
+    from rbc_gym_tpu.sim.solver3d import SimParams3D, make_solver3d
+
+    g2 = Grid2D(nx=32, nz=16, lx=2 * np.pi, lz=2.0)
+    s_hi = make_solver2d(g2, SimParams2D(), poisson_precision="highest")
+    s_h = make_solver2d(g2, SimParams2D(), poisson_precision="high")
+    import jax.numpy as jnp
+
+    f = s_hi.init_random(jax.random.PRNGKey(0), batch_shape=(2,))
+    a = jnp.zeros((2, 12), jnp.float32)
+    out_hi = jax.jit(s_hi.env_step)(f, a)
+    out_h = jax.jit(s_h.env_step)(f, a)
+    np.testing.assert_allclose(np.asarray(out_hi.b), np.asarray(out_h.b),
+                               atol=1e-6)
+
+    g3 = Grid3D(nx=16, ny=16, nz=8, lx=4 * np.pi, ly=4 * np.pi, lz=2.0)
+    make_solver3d(g3, SimParams3D(), poisson_precision="high")
+    with pytest.raises(KeyError):
+        make_solver3d(g3, SimParams3D(), poisson_precision="exact")
+    with pytest.raises(KeyError):
+        make_solver2d(g2, SimParams2D(), poisson_precision="bf16")
