@@ -161,11 +161,17 @@ def make_solver2d(
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    # Spectral-solve MXU precision: "highest" (default, 6-pass f32-exact)
-    # or "high" (bf16x3, ~f32 accuracy, ~half the MXU passes) — both the
-    # in-kernel dots and this XLA-path solver use the same setting so the
-    # fused-vs-XLA parity gate stays meaningful. See PERF_NOTES_3D round-4.
+    # Spectral-solve MXU precision. The 2D solve runs INSIDE the Pallas
+    # whole-step kernel, and Mosaic's dot_general lowers only DEFAULT and
+    # HIGHEST (measured: NotImplementedError on HIGH) — so "high" maps to
+    # "highest" here and the 2D path stays f32-exact; the 3D solver (XLA
+    # einsums between stage kernels) does honor "high" (+18% at E=256,
+    # docs/PERF_NOTES_3D.md round-4). Both the in-kernel dots and the
+    # XLA-path solver use the same setting so the fused-vs-XLA parity gate
+    # stays meaningful.
     _prec_name = poisson_precision or "highest"
+    if _prec_name == "high":
+        _prec_name = "highest"
     _prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
