@@ -308,7 +308,20 @@ def make_solver3d(
         pallas_ok = dtype == jnp.float32 and (
             jax.default_backend() not in ("cpu",) or fused_interpret
         )
-        fused = ("stage" if nx % x_blk == 0 else "field") if pallas_ok else False
+        # Stage-kernel VMEM ceiling (measured, scripts/sweep3d.py round 4):
+        # on the 32x64x64 flowstats grid — per-column footprint
+        # (nz+1)*ny = 2112 vs 544 on the training grid — EVERY block
+        # geometry and buffering mode OOMs Mosaic's VMEM (remote-compile
+        # HTTP 500); the per-field kernels spill similarly. Auto-select
+        # only takes a Pallas path below the documented 2x boundary and
+        # falls back to the XLA batch-minor path above it (that is the
+        # path the round-3 flowstats sweep actually exercised there).
+        fits_vmem = (nz + 1) * ny <= 2 * 17 * 32
+        fused = (
+            ("stage" if nx % x_blk == 0 else "field")
+            if pallas_ok and fits_vmem
+            else False
+        )
     if fused is True:
         fused = "field"
 
