@@ -42,6 +42,7 @@ def main():
         rayleigh_number=config["rbc_rayleigh_number"],
         state_shape=tuple(config["rbc_state_shape"]),
         heater_duration=config["rbc_heater_duration"],
+        heater_segments=int(config.get("rbc_heater_segments", 8)),
         heater_limit=config["rbc_heater_limit"],
         episode_length=config["rbc_episode_length"],
         dt_solver=config.get("rbc_dt_solver", 0.01),
@@ -54,7 +55,15 @@ def main():
         heater_limit=config["rbc_heater_limit"],
     )
 
-    model = RBCActorCritic(action_grid=(8, 8))
+    # reconstruct the exact trained architecture from the frozen config
+    # (trunk flag + heater grid — round-3 advice, as in eval_baselines)
+    s = int(config.get("rbc_heater_segments", 8))
+    model = RBCActorCritic(
+        action_grid=(s, s),
+        share_features_extractor=bool(
+            config.get("rl_share_features_extractor", False)
+        ),
+    )
     state, obs = env.reset(jax.random.PRNGKey(config.get("seed", 0)))
     obs_n = fn.normalize_observation(obs, norm, channel_axis=-4)
     params = model.init(jax.random.PRNGKey(0), obs_n)
