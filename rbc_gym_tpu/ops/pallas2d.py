@@ -228,6 +228,7 @@ def _env_step_kernel(
     dx: float,
     dz: float,
     poisson_precision=_HI,
+    bf16x3: bool = False,
 ):
     """The ENTIRE env step (n_substeps x RK3 + projections) for one env slab.
 
@@ -237,8 +238,13 @@ def _env_step_kernel(
     (bit-identical contraction order to ops/poisson.make_poisson_solver_2d_bm);
     the hydrostatic pressure is a triangular-matrix z-contraction.
     """
-    (u_r, w_r, b_r, bot_r, f_r, g_r, inv_r, uhy_r,
-     uo_r, wo_r, bo_r, pnhs_r) = refs
+    if bf16x3:
+        (u_r, w_r, b_r, bot_r, f_r, g_r, inv_r, uhy_r,
+         f_lo_r, g_lo_r, inv_lo_r,
+         uo_r, wo_r, bo_r, pnhs_r) = refs
+    else:
+        (u_r, w_r, b_r, bot_r, f_r, g_r, inv_r, uhy_r,
+         uo_r, wo_r, bo_r, pnhs_r) = refs
 
     bottom = bot_r[:]
     f_mat = f_r[:]        # (nx, nx) real-DFT analysis
@@ -261,23 +267,60 @@ def _env_step_kernel(
         )  # (k, nx, E)
         return -jnp.transpose(t, (1, 0, 2))
 
-    def poisson(rhs):
-        # MXU precision is configurable for the spectral solve only (HIGH
-        # = bf16x3, ~f32 accuracy at ~half the passes of HIGHEST — see
-        # docs/PERF_NOTES_3D.md round-4); the hydrostatic contraction
-        # above stays exact.
-        rhat = jax.lax.dot_general(
-            f_mat, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=poisson_precision,
-        )
-        phat = jax.lax.dot_general(
-            inv_rows, rhat, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=poisson_precision,
-        )
-        return jax.lax.dot_general(
-            g_mat, phat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=poisson_precision,
-        )
+    if bf16x3:
+        # Manual 3-pass bf16x3 spectral solve (Mosaic's dot_general lowers
+        # only DEFAULT and HIGHEST, so jax's HIGH is unavailable
+        # in-kernel): the setup-constant transform matrices come pre-split
+        # into bf16-exact hi + f32 lo residual refs; the dynamic operand
+        # splits in-kernel. A.B ~ Ahi.Bhi + Ahi.Blo + Alo.Bhi (the lo.lo
+        # term, ~2^-16 relative, is dropped) — three 1-pass bf16 MXU dots
+        # with f32 accumulation vs HIGHEST's 6 passes. Accuracy matches
+        # the XLA path's Precision.HIGH (same decomposition).
+        f_lo = f_lo_r[:]
+        g_lo = g_lo_r[:]
+        inv_lo = inv_lo_r[:]
+        _DEF = jax.lax.Precision.DEFAULT
+
+        def dot3(a_hi, a_lo, b, contract, batch=((), ())):
+            dn = (contract, batch)
+            b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+            b_lo = b - b_hi
+            return (
+                jax.lax.dot_general(a_hi, b_hi, dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=_DEF)
+                + jax.lax.dot_general(a_hi, b_lo, dn,
+                                      preferred_element_type=jnp.float32,
+                                      precision=_DEF)
+                + jax.lax.dot_general(a_lo, b_hi, dn,
+                                      preferred_element_type=jnp.float32,
+                                      precision=_DEF)
+            )
+
+        def poisson(rhs):
+            rhat = dot3(f_mat, f_lo, rhs, ((1,), (0,)))
+            phat = dot3(inv_rows, inv_lo, rhat, ((2,), (1,)),
+                        batch=((0,), (0,)))
+            return dot3(g_mat, g_lo, phat, ((1,), (0,)))
+    else:
+        def poisson(rhs):
+            # MXU precision for the spectral solve only; the hydrostatic
+            # contraction above stays exact.
+            rhat = jax.lax.dot_general(
+                f_mat, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=poisson_precision,
+            )
+            phat = jax.lax.dot_general(
+                inv_rows, rhat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=poisson_precision,
+            )
+            return jax.lax.dot_general(
+                g_mat, phat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=poisson_precision,
+            )
 
     def substep(carry, _):
         u, w, b, p_nhs = carry
@@ -352,12 +395,30 @@ def make_env_step_fused_2d(
     inv_rows = np.swapaxes(_vertical_inverses(lams, nz, dz)[row_modes], -1, -2)
     u_hy = np.triu(np.ones((nz, nz)))  # [k, j] = 1 where j >= k
 
+    bf16x3 = poisson_precision == "high"
+    f32 = jnp.float32
+    f_mat = jnp.asarray(f_mat, f32)
+    g_mat = jnp.asarray(g_mat, f32)
+    inv_rows = jnp.asarray(inv_rows, f32)
+    if bf16x3:
+        # pre-split the setup constants: hi is bf16-exact in f32, lo is
+        # the f32 residual — see the kernel's dot3
+        def _split(a):
+            hi = a.astype(jnp.bfloat16).astype(f32)
+            return hi, a - hi
+
+        f_mat, f_lo = _split(f_mat)
+        g_mat, g_lo = _split(g_mat)
+        inv_rows, inv_lo = _split(inv_rows)
+        extra_consts = (f_lo, g_lo, inv_lo)
+    else:
+        extra_consts = ()
     consts = (
-        jnp.asarray(f_mat, jnp.float32),
-        jnp.asarray(g_mat, jnp.float32),
-        jnp.asarray(inv_rows, jnp.float32),
-        jnp.asarray(u_hy, jnp.float32),
-    )
+        f_mat,
+        g_mat,
+        inv_rows,
+        jnp.asarray(u_hy, f32),
+    ) + extra_consts
 
     kernel = functools.partial(
         lambda *refs, **kw: _env_step_kernel(refs, **kw),
@@ -370,9 +431,10 @@ def make_env_step_fused_2d(
         dz=dz,
         poisson_precision={
             "highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,  # unused when bf16x3
             "default": jax.lax.Precision.DEFAULT,
         }[poisson_precision],
+        bf16x3=bf16x3,
     )
 
     def field_spec(nk):
@@ -395,7 +457,11 @@ def make_env_step_fused_2d(
         const_spec((nx, nx)),
         const_spec((nx, nz, nz)),
         const_spec((nz, nz)),
-    ]
+    ] + (
+        [const_spec((nx, nx)), const_spec((nx, nx)),
+         const_spec((nx, nz, nz))]
+        if bf16x3 else []
+    )
     out_specs = (
         field_spec(nz),      # u'
         field_spec(nz + 1),  # w'

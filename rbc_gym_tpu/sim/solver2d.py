@@ -161,20 +161,23 @@ def make_solver2d(
     kappa = jnp.asarray(params.kappa, dtype)
     min_b = params.min_b
 
-    # Spectral-solve MXU precision. The 2D solve runs INSIDE the Pallas
-    # whole-step kernel, and Mosaic's dot_general lowers only DEFAULT and
-    # HIGHEST (measured: NotImplementedError on HIGH) — so "high" maps to
-    # "highest" here and the 2D path stays f32-exact; the 3D solver (XLA
-    # einsums between stage kernels) does honor "high" (+18% at E=256,
-    # docs/PERF_NOTES_3D.md round-4). Both the in-kernel dots and the
-    # XLA-path solver use the same setting so the fused-vs-XLA parity gate
-    # stays meaningful.
+    # Spectral-solve MXU precision. Mosaic's in-kernel dot_general lowers
+    # only DEFAULT and HIGHEST (NotImplementedError on HIGH), and the
+    # manual bf16x3 substitute (pre-split hi/lo matrices + three 1-pass
+    # bf16 dots, pallas2d dot3) measures 1.5% SLOWER than HIGHEST at 4096
+    # envs (9,897 vs 10,045 env-steps/s; parity 7.2e-07) — the per-solve
+    # operand decompositions cost more than the saved MXU passes in this
+    # VMEM-resident kernel. "high" therefore maps to the f32-exact path
+    # here (unlike the 3D solver, where HIGH is +8.9% end to end); the
+    # manual path stays selectable as "bf16x3" for bigger-nx grids where
+    # the dense-transform share grows.
     _prec_name = poisson_precision or "highest"
     if _prec_name == "high":
         _prec_name = "highest"
+    _kernel_prec = {"bf16x3": "high"}.get(_prec_name, _prec_name)
     _prec = {
         "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
+        "bf16x3": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[_prec_name]
     poisson_bm = make_poisson_solver_2d_bm(nx, nz, dx, dz, dtype,
@@ -256,7 +259,7 @@ def make_solver2d(
             params.nu, params.kappa, min_b,
             params.substeps_per_env_step,
             e_blk=e_blk, interpret=fused_interpret,
-            poisson_precision=_prec_name,
+            poisson_precision=_kernel_prec,
         )
 
     def substep_bm_fused(f: Fields2D, bottom_b: jax.Array) -> Fields2D:
