@@ -160,6 +160,7 @@ def main():
             # A silent drop to a smaller fleet must be visible in
             # BENCH_r*.json, not only on stderr (verdict r2, fix #6).
             result["num_envs_attempted"] = attempted_3d
+            result["degraded"] = num_envs != attempted_3d
             print(json.dumps(result), flush=True)
             ok3d = True
             break
@@ -193,6 +194,7 @@ def main():
             if proc.returncode == 0 and line:
                 result = json.loads(line)
                 result["num_envs_attempted"] = attempted_big
+                result["degraded"] = num_envs != attempted_big
                 print(json.dumps(result), flush=True)
                 break
             print(f"bench3d-big: {num_envs} envs failed "
@@ -228,6 +230,7 @@ def main():
         try:
             result = run(num_envs)
             result["num_envs_attempted"] = attempted
+            result["degraded"] = num_envs != attempted
             print(json.dumps(result))
             return
         except Exception as e:  # OOM fallback to smaller fleets

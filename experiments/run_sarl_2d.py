@@ -199,15 +199,13 @@ def main():
     start_iteration = 0
     if args.resume_training:
         from rbc_gym_tpu.rl import (
-            restore_training_state,
+            restore_training_state_with_fallback,
             truncate_metrics_jsonl,
         )
 
-        if not os.path.isfile(ckpt_cb.full_path):
-            raise FileNotFoundError(
-                f"--resume_training: no full checkpoint at {ckpt_cb.full_path}"
-            )
-        start_iteration = restore_training_state(
+        # Falls back to latest_full.npz.new / previous_full.npz when the
+        # primary is missing or corrupt (crash-window recovery).
+        start_iteration = restore_training_state_with_fallback(
             ckpt_cb.full_path, trainer, callbacks=callbacks
         )
         kept = truncate_metrics_jsonl(metrics_path, start_iteration - 1)

@@ -282,7 +282,10 @@ class RayleighBenardConvection3DEnv(gym.Env):
                 return img
             return None
 
-    def _render_pyvista(self, t, cmin, cmax):  # pragma: no cover - optional dep
+    def _render_pyvista(self, t, cmin, cmax):
+        # Optional dep: pyvista is not installable on this image (no
+        # egress); tests/test_render_pyvista.py executes this branch
+        # against a mock module so the code path stays covered.
         import pyvista as pv
 
         t = np.flip(t, axis=1)

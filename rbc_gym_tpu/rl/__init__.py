@@ -12,12 +12,14 @@ from rbc_gym_tpu.rl.callbacks import (
 )
 from rbc_gym_tpu.rl.checkpoint import (
     restore_training_state,
+    restore_training_state_with_fallback,
     save_training_state,
     truncate_metrics_jsonl,
 )
 
 __all__ = [
     "restore_training_state",
+    "restore_training_state_with_fallback",
     "save_training_state",
     "truncate_metrics_jsonl",
     "PPO",

@@ -30,6 +30,7 @@ import json
 import logging
 import os
 import tempfile
+import zipfile
 from typing import Iterable, Sequence
 
 import jax
@@ -164,10 +165,52 @@ def restore_training_state(
     return meta["iteration"] + 1
 
 
+def restore_training_state_with_fallback(
+    path: str,
+    trainer,
+    callbacks: Sequence = (),
+) -> int:
+    """``restore_training_state`` with crash-window recovery.
+
+    The CheckpointCallback rotation (save new -> rotate latest->previous ->
+    promote new) guarantees at least one complete snapshot survives any
+    crash; this walks the candidates newest-first: ``latest_full.npz``,
+    then ``latest_full.npz.new`` (a completed save that died before
+    promotion), then ``previous_full.npz``. A missing or corrupt candidate
+    logs a warning and falls through; only when every candidate fails does
+    this raise. Matches the reference's always-consistent SB3 zips
+    (reference experiments/run_sarl.py:219-225) in recovery semantics.
+    """
+    candidates = [path, path + ".new",
+                  os.path.join(os.path.dirname(path), "previous_full.npz")]
+    errors = []
+    for cand in candidates:
+        if not os.path.isfile(cand):
+            errors.append(f"{cand}: not found")
+            continue
+        try:
+            it = restore_training_state(cand, trainer, callbacks=callbacks)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError,
+                zipfile.BadZipFile) as e:
+            logger.warning("Checkpoint %s unusable (%s: %s) — trying the "
+                           "next fallback", cand, type(e).__name__, e)
+            errors.append(f"{cand}: {type(e).__name__}: {e}")
+            continue
+        if cand != path:
+            logger.warning("Resumed from fallback checkpoint %s "
+                           "(%s was missing or corrupt)", cand, path)
+        return it
+    raise FileNotFoundError(
+        "--resume_training: no usable full checkpoint; tried "
+        + "; ".join(errors)
+    )
+
+
 def truncate_metrics_jsonl(path: str, last_iteration: int) -> int:
     """Drop metrics records beyond ``last_iteration`` so a resumed run's
-    metrics.jsonl continues seamlessly from the checkpoint. Returns the
-    number of records kept."""
+    metrics.jsonl continues seamlessly from the checkpoint. The rewrite is
+    atomic (temp file + rename) so a crash mid-truncation cannot lose the
+    metrics history. Returns the number of records kept."""
     if not os.path.isfile(path):
         return 0
     kept = []
@@ -182,7 +225,16 @@ def truncate_metrics_jsonl(path: str, last_iteration: int) -> int:
                 continue
             if rec.get("iteration", -1) <= last_iteration:
                 kept.append(line)
-    with open(path, "w") as f:
-        for line in kept:
-            f.write(line + "\n")
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".jsonl.tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            for line in kept:
+                f.write(line + "\n")
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return len(kept)
