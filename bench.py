@@ -102,7 +102,8 @@ def run(num_envs: int, steps: int = 10) -> dict:
 
 
 def run3d(num_envs: int, steps: int = 10, state_shape=(16, 32, 32),
-          dt_solver: float = 0.01) -> dict:
+          dt_solver: float = 0.01, sync_each_step: bool = False,
+          auto_reset: bool = True) -> dict:
     from rbc_gym_tpu.envs.vector3d import RBC3DVectorEnv
 
     env = RBC3DVectorEnv(
@@ -113,6 +114,7 @@ def run3d(num_envs: int, steps: int = 10, state_shape=(16, 32, 32),
         dt_solver=dt_solver,
         episode_length=37.5,
         poisson_precision=POISSON_PRECISION,
+        auto_reset=auto_reset,
     )
     state, _ = env.reset(jax.random.PRNGKey(0))
     actions = jnp.zeros((num_envs, 8, 8), jnp.float32)
@@ -122,6 +124,12 @@ def run3d(num_envs: int, steps: int = 10, state_shape=(16, 32, 32),
     t0 = time.perf_counter()
     for _ in range(steps):
         state, ts = env.step(state, actions)
+        if sync_each_step:
+            # big grids: an unsynced loop queues multiple in-flight
+            # frames, each holding ~10 GB of field/obs buffers — the
+            # async pile-up OOMs HBM even though one frame fits. The
+            # ~ms sync cost is noise against the ~2 s batch step.
+            jax.block_until_ready(ts.reward)
     jax.block_until_ready(ts.reward)
     elapsed = time.perf_counter() - t0
     env_steps_per_sec = num_envs * steps / elapsed
@@ -134,6 +142,7 @@ def run3d(num_envs: int, steps: int = 10, state_shape=(16, 32, 32),
         "num_envs": num_envs,
         "sec_per_env_step": elapsed / (num_envs * steps),
         "poisson_precision": POISSON_PRECISION,
+        "auto_reset": auto_reset,
         **_roofline("3d", env_steps_per_sec, state_shape=state_shape,
                     ra=2500.0, heater_duration=0.125, dt_solver=dt_solver),
     }
@@ -241,9 +250,25 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--one" and sys.argv[2] == "3d_big":
-        # subprocess worker for the hang-guarded big-grid line
+        # subprocess worker for the hang-guarded big-grid line; gates on
+        # the (x,y)-blocked stage kernel's own Mosaic parity first
+        if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
+            from rbc_gym_tpu.utils.parity import fused_parity_3d
+
+            err = fused_parity_3d(num_envs=128, steps=1,
+                                  state_shape=(32, 64, 64),
+                                  fused="stage_xy",
+                                  poisson_precision=POISSON_PRECISION)
+            print(f"bench3d-big: stage_xy parity ok ({err:.2e})",
+                  file=sys.stderr)
+        # auto_reset=False: no episode truncates inside the 11-step
+        # bench window, so the measured work is identical — but the
+        # autoreset lax.cond's reserved branch buffers (fresh-IC fields +
+        # masked swaps that never execute) break HBM at 1024 envs on this
+        # grid. Recorded in the JSON line.
         result = run3d(int(sys.argv[3]), state_shape=(32, 64, 64),
-                       dt_solver=0.005)
+                       dt_solver=0.005, sync_each_step=True,
+                       auto_reset=False)
         print(json.dumps(result), flush=True)
     else:
         main()

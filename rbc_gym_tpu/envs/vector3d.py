@@ -114,9 +114,16 @@ class RBC3DVectorEnv:
         self.ic_noise = float(ic_noise)
         self.dtype = dtype
         self.checkpoint_idx = checkpoint_idx
+        # Big grids: chunk the WHOLE env step (solver + observe + Nusselt)
+        # through lax.map at the env level — transients scale with the
+        # chunk, not the fleet (solver-level chunking is disabled to avoid
+        # double-mapping). See solver3d.env_step for the rationale.
+        self._big_grid = (self.grid.nz + 1) * self.grid.ny > 2 * 17 * 32
+        self._env_chunk = 128 if self._big_grid else None
         self.solver = make_solver3d(
             self.grid, self.params, dtype=dtype, fused=fused,
             poisson_precision=poisson_precision,
+            env_chunk=None if self._big_grid else "auto",
         )
 
         self._bank = None
@@ -132,7 +139,16 @@ class RBC3DVectorEnv:
             )
 
         self.reset = jax.jit(self._reset)
-        self.step = jax.jit(self._step)
+        # Big grids donate the incoming state so XLA reuses its ~GBs of
+        # field buffers for the output (the documented calling convention
+        # is the replace pattern ``state, ts = env.step(state, a)``; at
+        # 32x64x64 x 1024 envs the non-donated copy alone breaks HBM).
+        big_grid = (self.grid.nz + 1) * self.grid.ny > 2 * 17 * 32
+        self.step = (
+            jax.jit(self._step, donate_argnums=0)
+            if big_grid
+            else jax.jit(self._step)
+        )
 
     def _fields_from_bank(self, idx: jax.Array, key: jax.Array) -> Fields3D:
         f = jax.tree_util.tree_map(lambda a: a[idx], self._bank)
@@ -189,6 +205,28 @@ class RBC3DVectorEnv:
         return jnp.swapaxes(state, -1, -3)  # (E, 4, nz, ny, nx)
 
     def _step(self, state: EnvState3D, actions: jax.Array):
+        c = self._env_chunk
+        e = self.num_envs
+        if c and e > c and e % c == 0:
+            n_ch = e // c
+            s_hw = (self.params.n_heaters, self.params.n_heaters)
+            a = jnp.broadcast_to(
+                jnp.asarray(actions, self.dtype), (e,) + s_hw
+            ).reshape((n_ch, c) + s_hw)
+            st = jax.tree_util.tree_map(
+                lambda q: q.reshape((n_ch, c) + q.shape[1:]), state
+            )
+            out_state, ts = jax.lax.map(
+                lambda sa: self._step_core(sa[0], sa[1]), (st, a)
+            )
+            unflat = lambda q: q.reshape((e,) + q.shape[2:])
+            return (
+                jax.tree_util.tree_map(unflat, out_state),
+                jax.tree_util.tree_map(unflat, ts),
+            )
+        return self._step_core(state, actions)
+
+    def _step_core(self, state: EnvState3D, actions: jax.Array):
         fields = self.solver.env_step(state.fields, actions.astype(self.dtype))
         step = state.step + 1
         t = (step - 1).astype(self.dtype) * self._t_per_step

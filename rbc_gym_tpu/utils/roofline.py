@@ -71,9 +71,19 @@ def poisson_mxu_flops_per_point_2d(nx: int, nz: int) -> float:
 
 
 def poisson_mxu_flops_per_point_3d(nx: int, ny: int, nz: int) -> float:
-    """One dense (nx*nz)^2 analysis matmul + its inverse (2*nx*nz each)
-    plus the batched y-DFT forward + inverse (2*ny each), per point per
-    solve. The elementwise modal reciprocal (~1 flop) is ignored."""
+    """Per point per solve, matching the solver's auto-selected form
+    (ops/poisson.FACTORED_POISSON_MIN_NXNZ):
+
+    * dense (nx*nz < 1024): one (nx*nz)^2 analysis matmul + its inverse
+      (2*nx*nz each) plus the batched y-DFT fwd + inv (2*ny each);
+    * factored (nx*nz >= 1024): the x-DFT and z-DCT stay rectangular
+      matmuls — 2*(nx + nz) each way instead of 2*nx*nz.
+
+    The elementwise modal reciprocal (~1 flop) is ignored."""
+    from rbc_gym_tpu.ops.poisson import FACTORED_POISSON_MIN_NXNZ
+
+    if nx * nz >= FACTORED_POISSON_MIN_NXNZ:
+        return 4.0 * (nx + nz) + 4.0 * ny
     return 4.0 * nx * nz + 4.0 * ny
 
 

@@ -84,3 +84,45 @@ def test_poisson_precision_option_plumbed():
         make_solver3d(g3, SimParams3D(), poisson_precision="exact")
     with pytest.raises(KeyError):
         make_solver2d(g2, SimParams2D(), poisson_precision="bf16")
+
+
+def test_poisson_3d_factored_equals_dense():
+    """The factored x-DFT/z-DCT transforms (big-grid form) are
+    algebraically identical to the dense kron analysis (f64 exact)."""
+    from rbc_gym_tpu.ops.poisson import make_poisson_solver_3d_bm
+
+    for (nx, ny, nz) in [(16, 8, 8), (8, 16, 4)]:
+        dx, dy, dz = 4 * np.pi / nx, 4 * np.pi / ny, 2.0 / nz
+        dense = make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz,
+                                          jnp.float64, factored=False)
+        fact = make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz,
+                                         jnp.float64, factored=True)
+        rhs = jax.random.normal(jax.random.PRNGKey(0), (nx, nz, ny, 3),
+                                jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(fact(rhs)), np.asarray(dense(rhs)), atol=1e-12
+        )
+
+
+def test_poisson_3d_factored_autoselect():
+    """Above FACTORED_POISSON_MIN_NXNZ the factored form is the default."""
+    from rbc_gym_tpu.ops import poisson as P
+
+    assert P.FACTORED_POISSON_MIN_NXNZ == 1024
+    # 64*32 = 2048 >= threshold -> factored; 32*16 = 512 -> dense. Both
+    # solve the same system; check a residual on the factored default.
+    nx, ny, nz = 64, 8, 32
+    dx, dy, dz = 4 * np.pi / nx, 4 * np.pi / ny, 2.0 / nz
+    solve = P.make_poisson_solver_3d_bm(nx, ny, nz, dx, dy, dz, jnp.float64)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (nx, nz, ny, 2),
+                            jnp.float64)
+    rhs = rhs - rhs.mean(axis=(0, 1, 2), keepdims=True)
+    p = np.asarray(solve(rhs))
+    # discrete Laplacian residual (periodic x/y, Neumann z)
+    lap = (
+        (np.roll(p, -1, 0) - 2 * p + np.roll(p, 1, 0)) / dx**2
+        + (np.roll(p, -1, 2) - 2 * p + np.roll(p, 1, 2)) / dy**2
+    )
+    pz = np.concatenate([p[:, :1], p, p[:, -1:]], axis=1)
+    lap += (pz[:, 2:] - 2 * p + pz[:, :-2]) / dz**2
+    np.testing.assert_allclose(lap, np.asarray(rhs), atol=1e-9)

@@ -55,3 +55,15 @@ def test_clipped_substep_count_matches_solver():
         params = SimParams3D(heater_duration=hd, dt_solver=dt)
         model = rl.cost_3d(heater_duration=hd, dt_solver=dt)
         assert model["n_substeps"] == len(params.substep_dts())
+
+
+def test_poisson_mxu_flops_3d_factored_match_xla():
+    """Big-grid closed form (factored transforms) vs XLA's HLO count.
+    64*32 = 2048 >= FACTORED_POISSON_MIN_NXNZ selects the factored path."""
+    state_shape = (32, 16, 64)  # nz, ny, nx -> nx*nz = 2048
+    nz, ny, nx = state_shape
+    analytic = rl.poisson_mxu_flops_per_point_3d(nx, ny, nz)
+    dense = 4.0 * nx * nz + 4.0 * ny
+    assert analytic < dense / 5  # the factored form is the cheap one
+    counted = rl.xla_poisson_flops_per_point("3d", state_shape)
+    np.testing.assert_allclose(counted, analytic, rtol=0.02)

@@ -112,3 +112,29 @@ def test_nusselt_ra_oracle():
     assert abs(results[500.0] - targets[500.0]) < 0.15
     assert abs(results[2000.0] - targets[2000.0]) < 0.3
     assert results[2000.0] > results[500.0]
+
+
+def test_env_chunking_matches_direct():
+    """lax.map env chunking (big-grid HBM guard) is numerically equivalent
+    to the direct path within f32 fusion tolerance, including broadcastable
+    (unbatched) actions."""
+    import jax.numpy as jnp
+
+    grid = Grid3D(nx=8, ny=8, nz=4, lx=4 * np.pi, ly=4 * np.pi, lz=2.0)
+    params = SimParams3D(heater_duration=0.02)
+    s0 = make_solver3d(grid, params, dtype=jnp.float32, fused=False,
+                       env_chunk=None)
+    s1 = make_solver3d(grid, params, dtype=jnp.float32, fused=False,
+                       env_chunk=2)
+    f = s0.init_random(jax.random.PRNGKey(0), (6,))
+    rng = np.random.default_rng(3)
+    for shape in ((6, 8, 8), (8, 8)):
+        a = jnp.asarray(rng.uniform(-1, 1, shape), jnp.float32)
+        r0 = jax.jit(s0.env_step)(f, a)
+        r1 = jax.jit(s1.env_step)(f, a)
+        for name in ("u", "v", "w", "b", "p_nhs"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(r1, name)),
+                np.asarray(getattr(r0, name)),
+                atol=5e-6, err_msg=f"action {shape}, field {name}",
+            )
