@@ -10,12 +10,20 @@ Emits ``vpu_utilization_pct`` / ``mxu_utilization_pct`` /
   solver: 2D ``2*(2*nx + nz)`` flops/point/solve and 3D
   ``4*nx*nz + 4*ny`` flops/point/solve match the HLO-counted totals to
   the flop (tests/test_roofline.py).
-* **VPU (stencils)** — per-point flop counts derived from the fused
-  kernel structure (C6−D5 flux factorization, see the constants'
-  comments and docs/PERF_NOTES_3D.md). XLA's count of the *unfused*
-  parity path is ~3-5x higher (it materializes both one-sided UB5
-  branches plus selects) and would nonsense the utilization of the
-  fused kernels, so it is not used for the VPU term.
+* **VPU (stencils)** — per-point flop counts MEASURED from the shipped
+  kernels' traced jaxprs (utils/flopcount.py walks the pallas_call
+  kernel jaxpr, counting elementwise arithmetic; round-5, closing the
+  round-4 "unvalidated VPU work model" finding). The constants are the
+  USEFUL-work figures: the 2D whole-step kernel computes no halo so its
+  count is direct; the x-blocked 3D kernel's counts at x_blk ∈
+  {4,8,16,32} fit executed = useful + overhead/x_blk, and the constant
+  is the fitted useful intercept (tests/test_flopcount.py re-derives
+  both and pins them). Utilization is therefore MODEL-flop MFU: the
+  blocked kernels execute ~1.8x the useful flops at the shipped
+  x_blk=4 geometry (halo columns), so their raw VPU rates are ~1.8x
+  the reported utilization. XLA's count of the *unfused* parity path
+  is ~3-5x higher still (both one-sided UB5 branches plus selects) and
+  is not used.
 * **HBM** — the minimum streaming bound: field state read + written once
   per env step. The fully VMEM-resident 2D whole-step kernel actually
   achieves this; the 3D per-stage pipeline streams fields every stage,
@@ -50,24 +58,30 @@ ROOFLINE_PLATFORM = (
 
 POISSON_SOLVES_PER_SUBSTEP = 3  # one pressure projection per RK3 stage
 
-# Fused-kernel VPU work per grid point per RK stage, flops. Derivation
-# (2D, ops/pallas2d.py whole-step kernel): 3 advected fields x [2 axes x
-# (C6 6-tap recon ~11 + D5 5-tap ~11 + v*C6 - |v|*D5/60 combine ~4) +
-# flux divergence ~4] = 168; diffusion Laplacians 3 x ~10 = 30;
-# hydrostatic/buoyancy/pressure gradients ~15; RK update 3 x 4 = 12;
-# divergence + velocity correction glue ~15. Total ~240.
-VPU_FLOPS_PER_POINT_STAGE_2D = 240.0
-# 3D (ops/pallas3d.py stage kernel): 4 fields x [3 axes x 26 + 4] = 328;
-# diffusion 4 x 12 = 48; RK update 16; hydrostatic prefix-sum ~5;
-# in-kernel correction + divergence ~25. Total ~420 (PERF_NOTES_3D's
-# "~400 flops/point" UB5 estimate, refined for the shipped C6-D5 form).
-VPU_FLOPS_PER_POINT_STAGE_3D = 420.0
+# Fused-kernel VPU work per grid point per RK stage, flops — MEASURED
+# from the kernel jaxprs (utils/flopcount.py; pinned by
+# tests/test_flopcount.py). The earlier hand derivations gave 240 (2D)
+# and 420 (3D); the measured counts are 211.4 (2D whole-step kernel,
+# direct count, 96x64; its hydrostatic term is an MXU dot counted in
+# HYDRO_MXU_FLOPS_PER_POINT_STAGE_2D below) and 410.0 (3D stage kernel,
+# useful-work intercept of executed(x_blk) = useful + overhead/x_blk
+# over x_blk in {4,8,16,32} at 32x32x16).
+VPU_FLOPS_PER_POINT_STAGE_2D = 211.4
+VPU_FLOPS_PER_POINT_STAGE_3D = 410.0
 
 
 def poisson_mxu_flops_per_point_2d(nx: int, nz: int) -> float:
     """(nx,nx) DFT fwd + batched (nz,nz) modal inverse + (nx,nx) inverse
     DFT: 2*nx + 2*nz + 2*nx flops per point per solve."""
     return 2.0 * (2 * nx + nz)
+
+
+def hydro_mxu_flops_per_point_stage_2d(nz: int) -> float:
+    """The 2D whole-step kernel evaluates the hydrostatic suffix sum as
+    an MXU contraction against a triangular (nz,nz) matrix, once per RK
+    stage (ops/pallas2d.py `hydro`): 2*nz flops/point/stage. Confirmed by
+    the jaxpr count (kernel MXU = poisson 512 + hydro 128 at nz=64)."""
+    return 2.0 * nz
 
 
 def poisson_mxu_flops_per_point_3d(nx: int, ny: int, nz: int) -> float:
@@ -106,6 +120,7 @@ def cost_2d(state_shape=(64, 96), heater_duration: float = 1.5,
     mxu = (
         poisson_mxu_flops_per_point_2d(nx, nz)
         * points * POISSON_SOLVES_PER_SUBSTEP * n_sub
+        + hydro_mxu_flops_per_point_stage_2d(nz) * points * stages
     )
     # Fields2D: u (nx,nz), w (nx,nz+1), b, p_hy, p_nhs (nx,nz) f32,
     # read + written once per env step.
