@@ -610,6 +610,7 @@ def _stage_rk_kernel(
     emit_g: bool,
     emit_rhat: bool = False,
     nxb: int = 0,
+    element_windows: bool = False,
 ):
     """One full RK3 stage for one (env-slab, x-block) grid step: in-kernel
     pressure correction of the previous stage's fields (lazy projection),
@@ -644,9 +645,16 @@ def _stage_rk_kernel(
     o = _make_grid_ops(dx, dy, dz)
     refs = list(refs)
     dt_r = refs.pop(0)
-    (u_h, u_c, u_H, v_h, v_c, v_H, w_h, w_c, w_H,
-     b_h, b_c, b_H, q_h, q_c, q_H, bot_c) = refs[:16]
-    rest = refs[16:]
+    if element_windows:
+        # one overlapping pl.Element window per field over XLA-x-padded
+        # arrays (see make_stage_rk_3d(element_windows=True)); halos are
+        # part of the window, so there is no in-VMEM concat copy.
+        u_w, v_w, w_w, b_w, q_w, bot_c = refs[:6]
+        rest = refs[6:]
+    else:
+        (u_h, u_c, u_H, v_h, v_c, v_H, w_h, w_c, w_H,
+         b_h, b_c, b_H, q_h, q_c, q_H, bot_c) = refs[:16]
+        rest = refs[16:]
     with_gprev = zeta != 0.0
     gp = {}
     if with_gprev:
@@ -674,7 +682,13 @@ def _stage_rk_kernel(
         gu_scr = rest[5]
 
     def ext(h_r, c_r, H_r, right=3):
-        """(x_blk+3+right, nk, ny, E) extended slab; ext coord 0 = real -3."""
+        """(x_blk+3+right, nk, ny, E) extended slab; ext coord 0 = real -3.
+
+        element_windows mode: h_r IS the whole (x_blk+2*_XH)-wide padded
+        window (c_r/H_r unused) and ext coord 0 = real -_XH = -4, so
+        lo = -1 in the valid-mode frame."""
+        if element_windows:
+            return h_r[...], -1
         return (
             jnp.concatenate(
                 [
@@ -732,15 +746,23 @@ def _stage_rk_kernel(
     # Pressure correction of the previous stage's unprojected fields:
     # u -= ddx(q), v -= ddy(q), w -= ddz_interior(q). q is the solve of the
     # UNSCALED divergence, so no dt factor appears (see make_projection_glue).
-    Q = (jnp.concatenate([q_h[:], q_c[:], q_H[:]], axis=_AX), -1)
-    U = _xa_sub(ext(u_h, u_c, u_H, right=4), _xv_dd_c2f(Q, dx))
-    V = _xa_sub(ext(v_h, v_c, v_H), lift(o["ddy_c2f"])(Q))
-    W = _xa_sub(ext(w_h, w_c, w_H), lift(o["ddz_c2f_interior"])(Q))
-    B = ext(b_h, b_c, b_H)
+    if element_windows:
+        Q = (q_w[...], -1)
+        U = _xa_sub(ext(u_w, None, None), _xv_dd_c2f(Q, dx))
+        V = _xa_sub(ext(v_w, None, None), lift(o["ddy_c2f"])(Q))
+        W = _xa_sub(ext(w_w, None, None), lift(o["ddz_c2f_interior"])(Q))
+        B = ext(b_w, None, None)
+    else:
+        Q = (jnp.concatenate([q_h[:], q_c[:], q_H[:]], axis=_AX), -1)
+        U = _xa_sub(ext(u_h, u_c, u_H, right=4), _xv_dd_c2f(Q, dx))
+        V = _xa_sub(ext(v_h, v_c, v_H), lift(o["ddy_c2f"])(Q))
+        W = _xa_sub(ext(w_h, w_c, w_H), lift(o["ddz_c2f_interior"])(Q))
+        B = ext(b_h, b_c, b_H)
     # Hydrostatic anomaly pressure on the extended slab, straight from b —
     # replaces the XLA _hydrostatic_pressure pass (same sum up to f32
-    # association: suffix sum by doubling shifts).
-    PHY = (_hydro(B[0], nz, dz, min_b), 0)
+    # association: suffix sum by doubling shifts). Inherits B's frame
+    # offset (0 for halo views, -1 for element windows).
+    PHY = (_hydro(B[0], nz, dz, min_b), B[1])
 
     def y_flux(q, vel, m):
         a, b_, lo = _xa_align(q, vel)
@@ -968,6 +990,7 @@ def make_stage_rk_3d(
     vmem_limit_mb: int = 127,
     single_buffer: bool = True,
     emit_rhat: bool = False,
+    element_windows: bool = False,
 ):
     """Build the three x-blocked fused lazy-projection RK3-stage kernels
     (in-kernel pressure correction, hydrostatic pressure, all four UB5
@@ -993,6 +1016,9 @@ def make_stage_rk_3d(
     neighbor views, stage 0 takes no g_prev (zeta = 0) and stage 2 emits no
     g (nothing consumes it: the next substep's stage 0 has zeta = 0)."""
     assert nx % x_blk == 0 and x_blk % _HALO == 0, (nx, x_blk)
+    assert not (element_windows and emit_rhat), (
+        "in-kernel Poisson analysis is not supported with element windows"
+    )
     nxb = nx // x_blk
     nxh = nx // _HALO
     r = x_blk // _HALO
@@ -1093,11 +1119,29 @@ def make_stage_rk_3d(
             nu=nu, kappa=kappa, min_b=min_b,
             gamma=gamma, zeta=zeta, emit_g=emit_g,
             emit_rhat=emit_rhat, nxb=nxb,
+            element_windows=element_windows,
         )
+
+        def window_spec(n):
+            # one overlapping pl.Element window per field over the
+            # x-padded array: ext coord 0 = real -_XH, no concat copy
+            return pl.BlockSpec(
+                (pl.Element(x_blk + 2 * _XH), pl.Element(n),
+                 pl.Element(ny), pl.Element(e_blk)),
+                lambda s, i: (i * x_blk, 0, 0, s * e_blk),
+                memory_space=pltpu.VMEM, pipeline_mode=single,
+            )
+
+        if element_windows:
+            field_in = [window_spec(n) for n in (nz, nz, nz + 1, nz, nz)]
+        else:
+            field_in = (
+                views(nz) + views(nz) + views(nz + 1) + views(nz)
+                + views(nz)  # q
+            )
         in_specs = (
             [dt_spec]
-            + views(nz) + views(nz) + views(nz + 1) + views(nz)
-            + views(nz)  # q
+            + field_in
             + [bot_spec]
             + (
                 [center_spec(n) for n in NKS] + [gu_edge_spec]
@@ -1127,8 +1171,15 @@ def make_stage_rk_3d(
                 (field_shapes if emit_g else []) + field_shapes + [div_shape]
             )
             dt_arr = jnp.reshape(dt, (1,)).astype(dtype)
-            args = [dt_arr, u, u, u, v, v, v, w, w, w, b, b, b, q, q, q,
-                    bottom]
+            if element_windows:
+                def _pad_x(f):
+                    return jnp.concatenate([f[-_XH:], f, f[:_XH]], axis=0)
+
+                args = [dt_arr] + [_pad_x(f) for f in (u, v, w, b, q)]
+                args.append(bottom)
+            else:
+                args = [dt_arr, u, u, u, v, v, v, w, w, w, b, b, b,
+                        q, q, q, bottom]
             if with_gprev:
                 args += list(g_prev) + [g_prev[0]]
             if emit_rhat:

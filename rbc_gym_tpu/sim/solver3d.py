@@ -355,6 +355,13 @@ def make_solver3d(
     in_kernel_poisson = fused == "stage_qp"
     if in_kernel_poisson:
         fused = "stage"
+    # "stage_ew": x-only stage kernel with overlapping pl.Element windows
+    # over x-padded fields (no in-VMEM halo concat) — larger x_blk at the
+    # same VMEM, less halo compute waste. Selectable for measurement;
+    # becomes the default if it beats the 3-view kernel on-chip.
+    element_windows = fused == "stage_ew"
+    if element_windows:
+        fused = "stage"
     if fused == "stage":
         from rbc_gym_tpu.ops.pallas3d import make_stage_rk_3d
         from rbc_gym_tpu.ops.poisson import make_poisson_tail_3d_bm
@@ -365,6 +372,7 @@ def make_solver3d(
             x_blk=x_blk, e_blk=e_blk, interpret=fused_interpret,
             single_buffer=single_buffer,
             emit_rhat=in_kernel_poisson,
+            element_windows=element_windows,
         )
         if in_kernel_poisson:
             _poisson_tail = make_poisson_tail_3d_bm(

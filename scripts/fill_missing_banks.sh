@@ -23,6 +23,15 @@ gen3d 2500 train 42 20
 gen3d 2500 test 62 10
 gen3d 2500 val 72 10
 
+# Low-Ra rungs for the 3D controllability map (round-5: the reference's
+# registered 3D default is Ra=500, src/rbc_gym/__init__.py:21-38) and the
+# round-4 high-Ra rungs.
+for RA in 500 1000 8000 16000; do
+  gen3d "$RA" train 42 20
+  gen3d "$RA" test 62 10
+  gen3d "$RA" val 72 10
+done
+
 for RA in 30000 100000 300000 1000000 3000000 10000000; do
   gen2d "$RA" train 42 20
   gen2d "$RA" test 62 10

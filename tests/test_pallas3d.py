@@ -214,3 +214,28 @@ def test_big_grid_auto_selects_stage_xy():
     # on CPU the auto-select falls back to XLA unless interpret is forced
     s = make_solver3d(grid, SimParams3D(dt_solver=0.005), fused_interpret=True)
     assert s is not None  # construction alone must not OOM or assert
+
+
+def test_stage_ew_env_step_matches_xla(solvers):
+    """fused='stage_ew': the x-only stage kernel fed by overlapping
+    pl.Element windows over x-padded fields (no in-VMEM halo concat),
+    at several x_blk including the full-x single block."""
+    sx, _ = solvers
+    f = sx.init_random(jax.random.PRNGKey(0), batch_shape=(2,))
+    a = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 8, 8)), jnp.float32
+    )
+    fx = jax.jit(sx.env_step)(f, a)
+    for x_blk in (8, 32):
+        se = make_solver3d(
+            GRID, SimParams3D(), dtype=jnp.float32, fused="stage_ew",
+            fused_interpret=True, e_blk=2, x_blk=x_blk,
+        )
+        fe = jax.jit(se.env_step)(f, a)
+        for name in ("u", "v", "w", "b", "p_nhs"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fe, name)),
+                np.asarray(getattr(fx, name)),
+                atol=5e-6,
+                err_msg=f"x_blk {x_blk}, field {name}",
+            )
