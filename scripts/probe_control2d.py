@@ -30,7 +30,10 @@ def main():
     p.add_argument("--ra", type=float, default=10_000)
     p.add_argument("--bank", default="data/checkpoints/test/ckpt_ra10000.h5")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--gains", default="1.0,3.0,10.0,30.0",
+                   help="comma-separated proportional gains to sweep")
     args = p.parse_args()
+    gains = tuple(float(g) for g in args.gains.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -76,7 +79,7 @@ def main():
     nu_zero = second_half(rollout_j(lambda o: jnp.zeros((args.episodes, n_heaters))))
     print(f"zero-action Nu (2nd half of {args.n_steps} steps): {nu_zero:.4f}")
     for row in (0, 1, 2, 4):
-        for gain in (1.0, 3.0, 10.0, 30.0):
+        for gain in gains:
             nu = second_half(
                 rollout_j(lambda o, g=gain, r=row: controller(o, g, r))
             )
