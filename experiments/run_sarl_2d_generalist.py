@@ -22,7 +22,10 @@ import argparse
 import json
 import logging
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("run_sarl_2d_generalist")

@@ -221,3 +221,33 @@ def test_run_sarl_2d(tmp_path, monkeypatch):
     assert np.isfinite(rec["rollout/nusselt_mean"])
     assert np.isfinite(json.loads(lines[0])["eval/nusselt"])
     assert (out / "models" / "final_model.msgpack").exists()
+
+
+def test_run_sarl_2d_generalist(tmp_path, monkeypatch):
+    """Multi-Ra generalist trainer end-to-end at tiny shapes: round-robin
+    rollouts over per-Ra envs, one shared TrainState, per-rung eval dirs
+    (experiments/run_sarl_2d_generalist.py; beyond reference scope — the
+    reference trains one Ra per run)."""
+    out = tmp_path / "gen"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_sarl_2d_generalist.py", "--ras", "10000", "30000",
+         "--iterations", "4", "--num_envs", "2", "--n_steps", "4",
+         "--batch_size", "8", "--output_dir", str(out)],
+    )
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "experiments")
+    )
+    import run_sarl_2d_generalist
+
+    run_sarl_2d_generalist.main()
+    recs = [json.loads(l)
+            for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert [r["ra"] for r in recs] == [10000, 30000, 10000, 30000]
+    assert all(np.isfinite(r["rollout/nusselt_mean"]) for r in recs)
+    # per-rung eval dirs consumable by eval_baselines.py
+    for ra in (10000, 30000):
+        d = out / f"ra{ra}"
+        assert (d / "models" / "best_model.msgpack").exists()
+        rung = yaml.safe_load((d / "config.yaml").read_text())
+        assert rung["rbc_rayleigh_number"] == ra
