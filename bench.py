@@ -225,9 +225,14 @@ def main():
     # feasibility result is recorded in docs/PERF_NOTES_3D.md instead.
     if os.environ.get("BENCH_64CUBE", "0") == "1":
         try:
-            result = run3d(64, steps=3, state_shape=(64, 64, 64),
-                           dt_solver=0.005)
-            result["num_envs_attempted"] = 64
+            # >= 128 envs: the Pallas paths need full 128-lane env blocks —
+            # at 64 envs the solver silently falls back to XLA (round-4's
+            # 16.1 env-steps/s probe was that fallback; the round-5
+            # (x,y)-blocked kernel does 47.4 @256).
+            result = run3d(256, steps=3, state_shape=(64, 64, 64),
+                           dt_solver=0.005, sync_each_step=True,
+                           auto_reset=False)
+            result["num_envs_attempted"] = 256
             result["note"] = "feasibility probe, not a throughput headline"
             print(json.dumps(result), flush=True)
         except Exception as e:
