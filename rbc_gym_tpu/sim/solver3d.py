@@ -149,12 +149,16 @@ def make_solver3d(
     x_blk_auto = x_blk is None
     if x_blk is None:
         x_blk = 4 if small_grid else 8
+    xy_double_ok = (nz + 1) <= 40
+    sb_auto = single_buffer is None
     if y_blk is None:
-        # stage_xy geometry (measured round 5, 32x64x64 @256): x4/y16 =
-        # 119 env-steps/s vs x8/y8 = 107; x8/y16 VMEM-OOMs. Taller grids
-        # (nz+1 > 40) halve y_blk to keep the window under the same
-        # footprint.
-        y_blk = 16 if (nz + 1) <= 40 and ny % 16 == 0 else 8
+        # stage_xy geometry (measured round 5, 32x64x64 @256, Element
+        # windows): x4/y8/double = 128.3 env-steps/s > x4/y16/single =
+        # 119.4 > x8/y8 = 107; x8/y8-double, x8/y16 and x4/y16-double
+        # VMEM-OOM. DMA/compute overlap beats the bigger block. Taller
+        # grids (nz+1 > 40, e.g. 64^3) keep y_blk=8 + single buffering
+        # (double would exceed VMEM at their window sizes).
+        y_blk = 8
     if single_buffer is None:
         single_buffer = not small_grid
     if env_chunk == "auto":
@@ -346,7 +350,13 @@ def make_solver3d(
     if fused is True:
         fused = "field"
     if fused == "stage_xy" and x_blk_auto and nx % 4 == 0:
-        x_blk = 4  # measured best for the xy kernel (x8/y16 VMEM-OOMs)
+        x_blk = 4  # measured best for the xy kernel (larger blocks OOM)
+    if (fused == "stage_xy" and sb_auto and xy_double_ok
+            and y_blk == 8 and x_blk == 4):
+        # the big-grid single-buffer default predates the xy kernel; its
+        # measured best is DOUBLE buffering at x4/y8 (see above). An
+        # explicit single_buffer arg still wins.
+        single_buffer = False
 
     _fused_tend = None
     _stage_rk = None
