@@ -181,9 +181,9 @@ def main():
               file=sys.stderr)
 
     # Big-grid 3D line: the 32x64x64 flowstats-protocol grid (dt 0.005),
-    # where VMEM pressure forces the conservative x_blk=8/single-buffer
-    # geometry (round-3 verdict, next-round #5). Each attempt runs in a
-    # SUBPROCESS with a hard timeout: a Pallas scoped-VMEM OOM on this
+    # served by the (x,y)-blocked Element-window stage kernel + factored
+    # spectral Poisson (round 5; x4/y8/double auto-geometry). Each
+    # attempt runs in a SUBPROCESS with a hard timeout: a Pallas scoped-VMEM OOM on this
     # image surfaces as an endlessly-retried remote-compile HTTP 500
     # (PERF_NOTES_3D findings) — an in-process try/except cannot catch a
     # hang, and this line must never stall an unattended bench run.
